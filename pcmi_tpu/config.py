@@ -1,0 +1,165 @@
+"""Typed configuration for every pipeline stage.
+
+The reference scatters its tunables across module constants
+(``members/rafael/disparity/constants.py:1-64``) and per-engine default dicts
+(``members/marcin/models/satdiff.py:24-55``). Here every stage gets a frozen
+dataclass so configs are hashable (usable as jit static args), serialisable,
+and overridable from the CLI.
+
+Default values mirror the reference's published envelope where one exists:
+``MAX_DISP=288`` rounded to a multiple of 16, SGBM block 15, WLS λ=8000 σ=1.0,
+margin-dilation 24 (reference ``constants.py:54-64``), N=10 pairs
+(``constants.py:5``), convergence-angle window 5°..45° with incidence ≤ 40°
+(``pair_selector.py:84-95``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class StereoConfig:
+    """Dense stereo matching envelope.
+
+    The disparity search is signed, ``[-max_disp // 2, max_disp // 2)``,
+    matching the reference SGBM setup (``minDisparity=-MAX_DISP/2``,
+    ``numDisparities=MAX_DISP`` at reference ``disparity.py:265-267``).
+    """
+
+    max_disp: int = 288              # total search width, multiple of 16
+    block_size: int = 15             # matching window (cost aggregation)
+    # Semi-global aggregation penalties. OpenCV SGBM uses P1=8*c*b^2 and
+    # P2=32*c*b^2 on 8-bit costs; ours are expressed relative to a unit-scale
+    # census/AD cost.
+    sgm_p1: float = 0.03
+    sgm_p2: float = 0.48
+    sgm_paths: int = 4               # L->R, R->L, T->B, B->T
+    # Edge-aware refinement standing in for the WLS post-filter
+    # (reference disparity.py:287-310): fast guided filter.
+    gf_radius: int = 9
+    gf_eps: float = 1e-3
+    wls_passes: int = 2              # reference runs the WLS filter twice
+    lr_threshold: float = 1.5        # L/R consistency in px (ref disparity.py:157)
+    lr_threshold_final: float = 3.0  # post-refinement threshold (ref :161)
+    margin_undefined: int = 24       # invalid-mask dilation (ref constants.py:64)
+    cost_type: str = "census_ad"     # census hamming + abs-diff mix
+    census_window: int = 7           # census transform window (<=7 for 48-bit)
+    ad_weight: float = 0.3           # weight of AD term vs census term
+    dtype: str = "bfloat16"          # cost-volume dtype on TPU
+
+    def __post_init__(self):
+        object.__setattr__(self, "max_disp", _round_up(int(self.max_disp), 16))
+
+    @property
+    def min_disparity(self) -> int:
+        return -self.max_disp // 2
+
+    @property
+    def num_disparities(self) -> int:
+        return self.max_disp
+
+
+@dataclass(frozen=True)
+class RectifyConfig:
+    """Affine-camera epipolar rectification (replaces ASP ``stereo -t rpc``).
+
+    The probe grid samples the RPC cameras over the AOI x height range to fit
+    affine cameras and the affine fundamental matrix; this is the in-memory,
+    jittable replacement for the external Ames Stereo Pipeline call at
+    reference ``processing.py:12-18,61-83``.
+    """
+
+    probe_grid: Tuple[int, int, int] = (8, 8, 5)   # lon x lat x height samples
+    height_range: Tuple[float, float] = (0.0, 50.0)  # ref constants.py:25 H_RANGE
+    interp_order: int = 1            # bilinear warps
+
+
+@dataclass(frozen=True)
+class PairSelectionConfig:
+    """Multi-date pair selection heuristics (ref ``pair_selector.py:72-99``)."""
+
+    n_pairs: int = 10                # ref constants.py:5
+    min_convergence_deg: float = 5.0
+    max_convergence_deg: float = 45.0
+    max_incidence_deg: float = 40.0
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Multi-day point-cloud fusion (the capability the reference README
+    advertises at ``README.md:17`` but never implements — see SURVEY §2.2)."""
+
+    kmeans_clusters: int = 64
+    kmeans_iters: int = 20
+    knn_k: int = 8
+    knn_sigma: float = 3.0           # MAD multiples for outlier rejection
+    grid_cell: float = 0.5           # height-map gridding cell (px units)
+    icp_iters: int = 10
+    icp_subsample: int = 8192
+
+
+@dataclass(frozen=True)
+class TilingConfig:
+    """Fixed-shape spatial tiling (jit/pjit discipline).
+
+    The reference tiles everywhere ad hoc (saliency 512 px tiles, SAHI 640 px
+    slices, TILE_SIZE=1000 constant at ``constants.py:27``); here tiling is one
+    first-class mechanism with halo exchange for sharded stereo.
+    """
+
+    tile: int = 1024
+    halo: int = 160                  # >= max_disp/2 + block for stereo tiles
+    pad_multiple: int = 128          # align to TPU lanes
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh axes for pjit/shard_map scale-out."""
+
+    data_axis: str = "data"          # stereo pairs / dates
+    tile_axis: str = "tile"          # spatial tiles (halo-exchanged)
+    data: int = 1
+    tile: int = 1
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level flagship pipeline config."""
+
+    stereo: StereoConfig = StereoConfig()
+    rectify: RectifyConfig = RectifyConfig()
+    pairs: PairSelectionConfig = PairSelectionConfig()
+    fusion: FusionConfig = FusionConfig()
+    tiling: TilingConfig = TilingConfig()
+    mesh: MeshConfig = MeshConfig()
+    height_percentiles: Tuple[float, float] = (2.0, 98.0)  # ref plugin.py:181-191
+    ground_percentile: float = 2.0
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def from_flat_overrides(base: PipelineConfig, overrides: dict) -> PipelineConfig:
+    """Apply ``{"stereo.max_disp": 192, ...}`` style overrides (CLI surface)."""
+    grouped: dict = {}
+    for key, value in overrides.items():
+        if "." in key:
+            section, field = key.split(".", 1)
+            grouped.setdefault(section, {})[field] = value
+        else:
+            grouped[key] = value
+    updates = {}
+    for section, value in grouped.items():
+        current = getattr(base, section)
+        if isinstance(value, dict) and dataclasses.is_dataclass(current):
+            updates[section] = dataclasses.replace(current, **value)
+        else:
+            updates[section] = value
+    return dataclasses.replace(base, **updates)

@@ -1,0 +1,91 @@
+"""Radiometric normalization ops (jittable).
+
+Replaces the reference's robust median/MAD normalization
+(``members/rafael/disparity/processing.py:21-33``) and the 2–98 percentile
+band stretch duplicated across members (``viewer.py:76-91``,
+``members/marcin/utils.py:7-40``, ``members/jasraj/*/core.py``).
+
+All functions take a validity mask rather than relying on negative-sentinel
+poisoning; the sentinel convention of the reference (undefined = -1) is
+supported at the boundary via ``mask = img >= 0``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_quantile(x: jnp.ndarray, mask: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Quantiles of ``x[mask]`` without dynamic shapes.
+
+    Invalid entries are pushed to +inf, the array is sorted once, and the
+    quantile index is scaled by the valid count. ``q`` may be a vector.
+    """
+    flat = jnp.where(mask.reshape(-1), x.reshape(-1), jnp.inf)
+    order = jnp.sort(flat)
+    n_valid = jnp.maximum(jnp.sum(mask), 1)
+    idx = jnp.clip((q * (n_valid - 1)).astype(jnp.int32), 0, flat.size - 1)
+    return order[idx]
+
+
+def robust_bounds(img: jnp.ndarray, mask: jnp.ndarray, nb: float = 8.0):
+    """Median ± nb·MAD bounds over valid pixels.
+
+    Parity with reference ``normalise_image`` (``processing.py:21-33``):
+    ``med = median(values); mad = median(|values - med|);``
+    bounds ``[med - nb*mad, med + nb*mad]`` with ``nb = 8``.
+    """
+    med = _masked_quantile(img, mask, jnp.asarray(0.5))
+    mad = _masked_quantile(jnp.abs(img - med), mask, jnp.asarray(0.5))
+    lo = med - nb * mad
+    hi = med + nb * mad
+    return lo, hi
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def normalise_image(img: jnp.ndarray, mask: jnp.ndarray | None = None, nb: float = 8.0):
+    """Robust [0, 1] normalization over valid pixels.
+
+    Returns ``(normalised, mask)``. Matches reference ``normalise_image``
+    (``processing.py:21-33``) which clips to median±8·MAD, rescales to [0,1]
+    and re-poisons undefined pixels; here the mask is carried explicitly.
+    """
+    img = img.astype(jnp.float32)
+    if mask is None:
+        mask = img >= 0
+    lo, hi = robust_bounds(img, mask, nb)
+    scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+    out = jnp.clip((img - lo) * scale, 0.0, 1.0)
+    out = jnp.where(mask, out, 0.0)
+    return out, mask
+
+
+@partial(jax.jit, static_argnames=("p_lo", "p_hi"))
+def percentile_stretch(
+    img: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    p_lo: float = 2.0,
+    p_hi: float = 98.0,
+):
+    """2–98 percentile contrast stretch to [0, 1].
+
+    Parity with the reference's ubiquitous ``normalize_band``
+    (``viewer.py:76-91``, ``members/marcin/utils.py:7-40``).
+    """
+    img = img.astype(jnp.float32)
+    if mask is None:
+        mask = jnp.isfinite(img)
+    img = jnp.where(mask, img, 0.0)
+    qs = _masked_quantile(img, mask, jnp.asarray([p_lo / 100.0, p_hi / 100.0]))
+    lo, hi = qs[0], qs[1]
+    scale = jnp.where(hi > lo, 1.0 / (hi - lo), 0.0)
+    out = jnp.clip((img - lo) * scale, 0.0, 1.0)
+    return jnp.where(mask, out, 0.0)
+
+
+def to_uint8(img01: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] float -> uint8, the boundary convention for display layers."""
+    return jnp.clip(img01 * 255.0, 0, 255).astype(jnp.uint8)

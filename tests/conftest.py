@@ -1,0 +1,30 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+The reference has no test suite (SURVEY §4); this framework tests every
+kernel against NumPy references and validates multi-chip sharding on a
+virtual CPU mesh, since real multi-chip hardware is not available in CI.
+
+Must set XLA flags before the first ``import jax`` anywhere in the test
+process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
