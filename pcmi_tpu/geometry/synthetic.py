@@ -1,0 +1,273 @@
+"""Synthetic WV3-like stereo scene generator with exact ground truth.
+
+The reference validates visually against real WV3 NTFs that are not shipped
+(Git-LFS) and pins one "decent" pair (``constants.py:29-33``). This module
+replaces that with *synthesised* multi-date scenes: a procedural terrain +
+texture is imaged through satellite-style affine cameras (and their exact
+RPC wrappers), so every pipeline stage has a known-truth target — the test
+strategy the reference's ``test_stich.py:14-54`` gestures at (synthesise a
+known warp, recover it), applied to the full 3D problem.
+
+Conventions: local metric frame (east, north, up) in metres anchored at the
+reference's San Fernando target site (``constants.py:22-23``); ground
+sampling distance defaults to 0.5 m (WV3 PAN class).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcmi_tpu.geometry.affine import AffineCamera, LocalFrame, M_PER_DEG_LAT, M_PER_DEG_LON_EQ
+from pcmi_tpu.geometry.rpc import RPCCamera, make_affine_rpc
+from pcmi_tpu.ops.warp import map_coordinates
+from pcmi_tpu.ops.filters import gaussian_filter
+
+TARGET_LAT = -34.490278   # ref constants.py:22
+TARGET_LON = -58.584444   # ref constants.py:23
+
+
+def view_vector(incidence_deg: float, azimuth_deg: float) -> np.ndarray:
+    """ENU unit vector pointing to the satellite (ref ``nitf_utils.py:39-81``):
+    z = cos(inc); east = sin(inc) sin(az); north = sin(inc) cos(az)."""
+    inc = np.radians(incidence_deg)
+    az = np.radians(azimuth_deg)
+    return np.array([np.sin(inc) * np.sin(az), np.sin(inc) * np.cos(az), np.cos(inc)])
+
+
+def make_satellite_camera(
+    incidence_deg: float, azimuth_deg: float, gsd: float = 0.5,
+    offset=(0.0, 0.0),
+) -> AffineCamera:
+    """Orthographic pushbroom-style affine camera looking along the view
+    vector, scaled to ``gsd`` metres/pixel."""
+    v = view_vector(incidence_deg, azimuth_deg)
+    up = np.array([0.0, 0.0, 1.0])
+    e1 = np.cross(up, v)
+    if np.linalg.norm(e1) < 1e-8:
+        e1 = np.array([1.0, 0.0, 0.0])
+    e1 = e1 / np.linalg.norm(e1)
+    e2 = np.cross(v, e1)
+    A = np.stack([e1, e2]) / gsd
+    return AffineCamera(
+        A=jnp.asarray(A, jnp.float32),
+        b=jnp.asarray(np.asarray(offset, np.float64), jnp.float32),
+    )
+
+
+def rpc_from_affine_camera(
+    cam: AffineCamera, frame: LocalFrame, img_shape,
+    h_range=(0.0, 50.0), aoi_half_deg=0.005,
+) -> RPCCamera:
+    """Exact RPC00B wrapper of an affine camera (denominators == 1).
+
+    pix = A @ local(lon, lat, h) + b is affine in (lon, lat, h); express it
+    in the normalized RPC coordinate system so ``RPCCamera.project``
+    reproduces the affine camera to float precision.
+    """
+    A = np.asarray(cam.A, np.float64)
+    b = np.asarray(cam.b, np.float64)
+    lon0 = float(frame.lon0)
+    lat0 = float(frame.lat0)
+    kx = M_PER_DEG_LON_EQ * np.cos(np.radians(lat0))
+    ky = M_PER_DEG_LAT
+    # pix = A @ diag(kx, ky, 1) @ (lon-lon0, lat-lat0, h) + b
+    Ad = A @ np.diag([kx, ky, 1.0])
+    offs = dict(
+        LONG_OFF=lon0, LAT_OFF=lat0, HEIGHT_OFF=0.5 * (h_range[0] + h_range[1]),
+        LONG_SCALE=aoi_half_deg, LAT_SCALE=aoi_half_deg,
+        HEIGHT_SCALE=max(1.0, 0.5 * (h_range[1] - h_range[0])),
+        SAMP_OFF=img_shape[1] / 2, LINE_OFF=img_shape[0] / 2,
+        SAMP_SCALE=img_shape[1] / 2, LINE_SCALE=img_shape[0] / 2,
+    )
+    out = []
+    for i, (pix_off, pix_scale) in enumerate(
+        [(offs["SAMP_OFF"], offs["SAMP_SCALE"]), (offs["LINE_OFF"], offs["LINE_SCALE"])]
+    ):
+        const = (Ad[i, 2] * offs["HEIGHT_OFF"] + b[i] - pix_off) / pix_scale
+        c_lon = Ad[i, 0] * offs["LONG_SCALE"] / pix_scale
+        c_lat = Ad[i, 1] * offs["LAT_SCALE"] / pix_scale
+        c_h = Ad[i, 2] * offs["HEIGHT_SCALE"] / pix_scale
+        out.append(np.array([const, c_lon, c_lat, c_h], np.float64))
+    return make_affine_rpc(out[0], out[1], offs)
+
+
+@dataclass
+class SyntheticScene:
+    """A rendered multi-view scene with exact truth."""
+
+    images: list            # list of (H, W) jnp arrays, radiometrically varied
+    heights: list           # per-view (H, W) ground-truth surface height (m)
+    cameras: list           # AffineCamera per view
+    rpcs: list              # exact RPCCamera per view
+    frame: LocalFrame
+    terrain: jnp.ndarray    # (Hg, Wg) height field (m)
+    texture: jnp.ndarray    # (Hg, Wg) ortho reflectance
+    ground_gsd: float       # metres per terrain grid cell
+    ground_origin: tuple    # local (x, y) of terrain[0, 0]
+    h_range: tuple
+
+
+def _smooth_noise(key, shape, scales=(4, 16, 64), amps=(1.0, 0.5, 0.25)):
+    out = jnp.zeros(shape, jnp.float32)
+    for s, a in zip(scales, amps):
+        key, sub = jax.random.split(key)
+        low = jax.random.normal(sub, (shape[0] // s + 2, shape[1] // s + 2))
+        ys = jnp.linspace(0, low.shape[0] - 2, shape[0])
+        xs = jnp.linspace(0, low.shape[1] - 2, shape[1])
+        up = map_coordinates(low, *jnp.meshgrid(ys, xs, indexing="ij"))
+        out = out + a * up
+    return out
+
+
+def make_terrain(key, shape=(768, 768), gsd=0.5, h_range=(0.0, 50.0),
+                 n_buildings=24):
+    """Smooth relief + boxy 'buildings' with flat roofs (height field, m)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    base = _smooth_noise(k1, shape, scales=(96, 192), amps=(1.0, 1.0))
+    base = base - base.min()
+    base = base / jnp.maximum(base.max(), 1e-6)
+    lo, hi = h_range
+    terrain = lo + base * (hi - lo) * 0.4
+
+    hg, wg = shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+    centers = jax.random.uniform(k2, (n_buildings, 2), minval=0.1, maxval=0.9)
+    sizes = jax.random.uniform(k3, (n_buildings, 3), minval=0.2, maxval=1.0)
+    for i in range(n_buildings):
+        cy = centers[i, 0] * hg
+        cx = centers[i, 1] * wg
+        sy = 8 + sizes[i, 0] * 40
+        sx = 8 + sizes[i, 1] * 40
+        bh = lo + (hi - lo) * (0.3 + 0.6 * sizes[i, 2])
+        inside = (jnp.abs(ys - cy) < sy) & (jnp.abs(xs - cx) < sx)
+        terrain = jnp.where(inside, jnp.maximum(terrain, bh), terrain)
+    return terrain
+
+
+def make_texture(key, shape=(768, 768)):
+    """High-frequency matchable ortho texture in [0, 1]."""
+    tex = _smooth_noise(key, shape, scales=(2, 8, 32), amps=(1.0, 0.8, 0.6))
+    tex = tex - tex.min()
+    return tex / jnp.maximum(tex.max(), 1e-6)
+
+
+@partial(jax.jit, static_argnames=("out_shape", "iters"))
+def render_view(
+    cam: AffineCamera,
+    terrain: jnp.ndarray,
+    texture: jnp.ndarray,
+    ground_origin,
+    gsd: float,
+    out_shape,
+    iters: int = 12,
+):
+    """Render the terrain/texture through an affine camera.
+
+    Per-pixel fixed-point ray/terrain intersection: invert the camera's 2x2
+    (x, y) block at a height guess, look up the terrain, repeat. Converges
+    everywhere except sub-pixel bands at building walls (occlusion edges),
+    which real stereo also treats as invalid. Returns (image, gt_height).
+    """
+    A = cam.A
+    b = cam.b
+    A2 = A[:, :2]
+    A2inv = jnp.linalg.inv(A2)
+    az = A[:, 2]
+
+    h, w = out_shape
+    py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    pix = jnp.stack([px, py], axis=-1)  # (h, w, 2) in (col,row)=(x,y)
+
+    ox, oy = ground_origin
+    mean_h = jnp.mean(terrain)
+
+    def ground_xy(z):
+        rhs = pix - b - az * z[..., None]
+        # elementwise 2x2 solve (no matmul: default dot precision is bf16)
+        x = rhs[..., 0] * A2inv[0, 0] + rhs[..., 1] * A2inv[0, 1]
+        y = rhs[..., 0] * A2inv[1, 0] + rhs[..., 1] * A2inv[1, 1]
+        return jnp.stack([x, y], axis=-1)
+
+    def lookup(xy):
+        gx = (xy[..., 0] - ox) / gsd
+        gy = (xy[..., 1] - oy) / gsd
+        return map_coordinates(terrain, gy, gx, fill=jnp.nan)
+
+    def body(_, z):
+        return lookup(ground_xy(z))
+
+    z0 = jnp.full((h, w), mean_h)
+    z = jax.lax.fori_loop(0, iters, body, z0)
+
+    xy = ground_xy(z)
+    gx = (xy[..., 0] - ox) / gsd
+    gy = (xy[..., 1] - oy) / gsd
+    img = map_coordinates(texture, gy, gx, fill=-1.0)
+    return img, z
+
+
+def make_stereo_scene(
+    seed: int = 0,
+    ground_shape=(768, 768),
+    gsd: float = 0.5,
+    h_range=(0.0, 50.0),
+    views=((12.0, 90.0), (22.0, 260.0)),
+    out_shape=(640, 640),
+    radiometric_jitter: float = 0.15,
+) -> SyntheticScene:
+    """Full multi-view scene. ``views`` are (incidence°, azimuth°) per date.
+
+    Per-view radiometric gain/offset jitter emulates the cross-date
+    brightness drift the reference normalises away (``disparity.py:66-70``).
+    """
+    key = jax.random.PRNGKey(seed)
+    kt, kx, kr = jax.random.split(key, 3)
+    terrain = make_terrain(kt, ground_shape, gsd, h_range)
+    texture = make_texture(kx, ground_shape)
+
+    hg, wg = ground_shape
+    origin = (-0.5 * wg * gsd, -0.5 * hg * gsd)
+    frame = LocalFrame(lon0=jnp.float32(TARGET_LON), lat0=jnp.float32(TARGET_LAT))
+
+    images, heights, cams, rpcs = [], [], [], []
+    for i, (inc, az) in enumerate(views):
+        cam = make_satellite_camera(inc, az, gsd,
+                                    offset=(out_shape[1] / 2, out_shape[0] / 2))
+        img, z = render_view(cam, terrain, texture, origin, gsd, out_shape)
+        kr, sub = jax.random.split(kr)
+        gain = 1.0 + radiometric_jitter * float(jax.random.normal(sub, ()))
+        kr, sub = jax.random.split(kr)
+        offset = 0.1 * radiometric_jitter * float(jax.random.normal(sub, ()))
+        kr, sub = jax.random.split(kr)
+        noise = 0.01 * jax.random.normal(sub, img.shape)
+        jimg = jnp.where(img >= 0, jnp.clip(img * gain + offset + noise, 0, 4), -1.0)
+        images.append(jimg)
+        heights.append(z)
+        cams.append(cam)
+        rpcs.append(rpc_from_affine_camera(cam, frame, out_shape, h_range))
+
+    return SyntheticScene(
+        images=images, heights=heights, cameras=cams, rpcs=rpcs,
+        frame=frame, terrain=terrain, texture=texture,
+        ground_gsd=gsd, ground_origin=origin, h_range=h_range,
+    )
+
+
+def aoi_lonlat_ranges(scene: SyntheticScene):
+    """Lon/lat bounds of the scene's ground extent (for probe grids)."""
+    ox, oy = scene.ground_origin
+    hg, wg = scene.terrain.shape
+    xs = np.array([ox, ox + wg * scene.ground_gsd])
+    ys = np.array([oy, oy + hg * scene.ground_gsd])
+    lon, lat, _ = scene.frame.to_geodetic(jnp.asarray(xs, jnp.float32),
+                                          jnp.asarray(ys, jnp.float32), 0.0)
+    lon = np.asarray(lon)
+    lat = np.asarray(lat)
+    return (float(lon.min()), float(lon.max())), (float(lat.min()), float(lat.max()))
