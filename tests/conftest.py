@@ -10,7 +10,10 @@ process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment points JAX at a TPU tunnel
+# (JAX_PLATFORMS=axon): unit tests need the 8-device virtual mesh and fast
+# process startup; TPU validation happens in bench.py / __graft_entry__.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +22,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The TPU-tunnel sitecustomize pins jax_platforms="axon,cpu" in jax.config,
+# which outranks the env var — override it in config too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402
