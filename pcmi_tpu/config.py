@@ -53,6 +53,15 @@ class StereoConfig:
     census_window: int = 7           # census transform window (<=7 for 48-bit)
     ad_weight: float = 0.3           # weight of AD term vs census term
     dtype: str = "bfloat16"          # cost-volume dtype on TPU
+    # Blunder gates (post-matching validity). Foreground-fattening /
+    # occlusion blunders concentrate in bands around disparity
+    # discontinuities; invalidating those bands per pair is standard MVS
+    # practice — multi-date fusion restores coverage from other pairs.
+    speckle_median_size: int = 13    # separable median window for the gate
+    speckle_threshold: float = 1.5   # max |disp - median| in px
+    edge_grad_threshold: float = 0.8 # |∇median-disp| above this = discontinuity
+    edge_dilation: int = 6           # half-width of the invalidated band (px)
+    photo_threshold: float = 0.1     # max photoconsistency residual [0, 1]
 
     def __post_init__(self):
         object.__setattr__(self, "max_disp", _round_up(int(self.max_disp), 16))

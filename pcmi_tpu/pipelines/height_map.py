@@ -1,0 +1,289 @@
+"""Flagship pipeline: stereo pair → disparity → height map → 3D points.
+
+The TPU-native rebuild of the reference's hot path
+(``HeightMapExtractor.run``, reference ``plugin.py:36-243`` +
+``disparity.py:21-226``): where the reference buses every stage through
+``data/TEMP`` files and external binaries (GDAL crop → ASP rectify → OpenCV
+SGBM → numpy), here a pair flows through memory as fixed-shape arrays:
+
+  RPCs ──host──▶ affine rectification geometry (geometry.rectify)
+  images ─jit─▶ rectify warp → robust normalise → census/SGM disparity →
+                guided-filter refine → photoconsistency → triangulate →
+                plane-relative heights
+
+The per-pair compute core (:func:`pair_core`) is ONE jitted function whose
+only static arguments are the canvas shape and the stereo config — all
+per-pair geometry (triangulation operator, warp matrices) enters as arrays,
+so processing N pairs of one AOI compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcmi_tpu.config import PipelineConfig, StereoConfig
+from pcmi_tpu.geometry.rectify import (
+    RectifiedGeometry,
+    build_geometry_from_rpcs,
+    triangulation_operator,
+)
+from pcmi_tpu.interface import Layer, SatellitePlugin
+from pcmi_tpu.ops.morphology import binary_dilation
+from pcmi_tpu.ops.normalize import normalise_image, percentile_stretch
+from pcmi_tpu.ops.pointcloud import fit_plane, plane_relative_height
+from pcmi_tpu.ops.stereo.matching import compute_disparity, refine_disparity
+from pcmi_tpu.ops.warp import affine_warp, invert_affine
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class PairProduct(NamedTuple):
+    """Everything the reference emits per pair (disparity GTiff channels +
+    consistency.npz + napari layers, ``disparity.py:213-224`` /
+    ``plugin.py:126-233``), as in-memory arrays."""
+
+    disparity: jnp.ndarray      # (H, W) signed px, left-rectified frame
+    valid: jnp.ndarray          # (H, W) bool
+    photo: jnp.ndarray          # (H, W) photoconsistency in [0, 1] (0 = good)
+    xyz: jnp.ndarray            # (H, W, 3) local-frame metres
+    height: jnp.ndarray         # (H, W) absolute height z (NaN where invalid)
+    rel_height: jnp.ndarray     # (H, W) plane-relative, ground-zeroed (m)
+    rect_left: jnp.ndarray      # (H, W) normalised rectified left image
+    rect_right: jnp.ndarray     # (H, W) normalised rectified right
+
+
+def required_max_disp(
+    geoms: Sequence[RectifiedGeometry], h_range, margin_px: int = 16
+) -> int:
+    """Smallest /16 search width covering ``h_range`` for all geometries.
+
+    Disparity is exactly ``disp_gain * (z - h_mid)`` (see
+    ``RectifiedGeometry``), so the needed signed range is known in closed
+    form — the reference instead hardcodes MAX_DISP=288 for every pair
+    (``constants.py:54-57``) and pays the full search even when the AOI
+    relief needs a fraction of it.
+    """
+    span = 0.0
+    for g in geoms:
+        half = max(abs(h_range[0] - g.h_mid), abs(h_range[1] - g.h_mid))
+        span = max(span, abs(g.disp_gain) * half)
+    total = 2 * (int(np.ceil(span)) + margin_px)
+    return ((total + 15) // 16) * 16
+
+
+@partial(jax.jit, static_argnames=("out_shape", "fill"))
+def _rectify_pair(img1, img2, H1, H2, out_shape, fill=-1.0):
+    r1 = affine_warp(img1, invert_affine(H1), out_shape, fill=fill)
+    r2 = affine_warp(img2, invert_affine(H2), out_shape, fill=fill)
+    return r1, r2
+
+
+def photoconsistency(left: jnp.ndarray, right: jnp.ndarray,
+                     disparity: jnp.ndarray) -> jnp.ndarray:
+    """|right(y, x - d) - left(y, x)| on normalised images — the reference's
+    warp-difference map (``processing.py:94-115``), as one gather."""
+    h, w = left.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    x2 = xs - disparity
+    x0 = jnp.floor(x2).astype(jnp.int32)
+    t = x2 - x0.astype(jnp.float32)
+    x0c = jnp.clip(x0, 0, w - 1)
+    x1c = jnp.clip(x0 + 1, 0, w - 1)
+    r = (
+        jnp.take_along_axis(right, x0c, axis=1) * (1 - t)
+        + jnp.take_along_axis(right, x1c, axis=1) * t
+    )
+    inb = (x2 >= 0) & (x2 <= w - 1)
+    return jnp.where(inb, jnp.abs(r - left), 1.0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "ground_percentile"))
+def pair_core(
+    rect1: jnp.ndarray,
+    rect2: jnp.ndarray,
+    tri_M: jnp.ndarray,
+    tri_b: jnp.ndarray,
+    cfg: StereoConfig,
+    ground_percentile: float = 2.0,
+) -> PairProduct:
+    """The jit-once per-pair compute core on the rectified canvas."""
+    mask1 = rect1 >= 0
+    mask2 = rect2 >= 0
+    n1, _ = normalise_image(rect1, mask1)
+    n2, _ = normalise_image(rect2, mask2)
+
+    # shrink validity away from undefined borders (ref post_process_undefined,
+    # processing.py:35-41: binary_dilation of the invalid region x24)
+    inv1 = binary_dilation(~mask1, iterations=cfg.margin_undefined)
+    inv2 = binary_dilation(~mask2, iterations=cfg.margin_undefined)
+    v1 = mask1 & ~inv1
+    v2 = mask2 & ~inv2
+
+    res = compute_disparity(n1, n2, v1, v2, cfg, aggregation="sgm")
+    res = refine_disparity(res, n1, cfg)
+    photo = photoconsistency(n1, n2, res.disparity)
+
+    # Blunder gates: matching errors concentrate in foreground-fattening /
+    # occlusion bands around disparity discontinuities (the failure mode the
+    # reference attacks with 4 WLS passes + two LRC thresholds,
+    # ``disparity.py:129-161``). Gate on (a) deviation from the local median
+    # (speckle), (b) distance to a disparity discontinuity (band), and
+    # (c) photoconsistency. Fusion refills the bands from other pairs.
+    from pcmi_tpu.ops.filters import separable_median_filter
+    med = separable_median_filter(res.disparity, cfg.speckle_median_size)
+    speckle_ok = jnp.abs(res.disparity - med) <= cfg.speckle_threshold
+    gy, gx = jnp.gradient(med)
+    edge = jnp.hypot(gy, gx) > cfg.edge_grad_threshold
+    band = binary_dilation(edge, iterations=cfg.edge_dilation)
+    photo_ok = photo < cfg.photo_threshold
+    gated_valid = res.valid & speckle_ok & ~band & photo_ok
+    res = res._replace(valid=gated_valid)
+
+    # triangulate: obs = (x1, y, x1 - d, y); X = M @ (obs - b)
+    h, w = res.disparity.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    x2 = xs - res.disparity
+    obs = jnp.stack([xs, ys, x2, ys], axis=-1)
+    xyz = jnp.einsum("hwk,ck->hwc", obs - tri_b, tri_M, precision=HIGHEST)
+
+    valid = res.valid & v1
+    height = jnp.where(valid, xyz[..., 2], jnp.nan)
+
+    # SVD plane fit -> relative heights, ground at the low percentile
+    # (ref plugin.py:156-191)
+    plane = fit_plane(xyz, valid.astype(jnp.float32))
+    rel = plane_relative_height(xyz, plane)
+    from pcmi_tpu.ops.normalize import _masked_quantile
+    ground = _masked_quantile(rel, valid, jnp.asarray(ground_percentile / 100.0))
+    rel = jnp.where(valid, rel - ground, jnp.nan)
+
+    return PairProduct(
+        disparity=res.disparity, valid=valid, photo=photo, xyz=xyz,
+        height=height, rel_height=rel, rect_left=n1, rect_right=n2,
+    )
+
+
+class HeightMapPipeline:
+    """Host orchestration: geometry on host, compute under one jit.
+
+    Replaces the reference's crop→ASP→SGBM→WLS file bus
+    (``plugin.py:81-124``). ``process_pair`` handles one stereo pair;
+    :class:`pcmi_tpu.pipelines.multiday.MultiDayFusion` runs many and fuses.
+    """
+
+    def __init__(self, cfg: PipelineConfig = PipelineConfig()):
+        self.cfg = cfg
+
+    def build_geometry(self, rpc1, rpc2, lon_range, lat_range,
+                       shape1, shape2) -> RectifiedGeometry:
+        return build_geometry_from_rpcs(
+            rpc1, rpc2, lon_range, lat_range, self.cfg.rectify.height_range,
+            shape1, shape2, grid=self.cfg.rectify.probe_grid,
+            pad_multiple=self.cfg.tiling.pad_multiple,
+        )
+
+    def stereo_cfg_for(self, geoms: Sequence[RectifiedGeometry]) -> StereoConfig:
+        """Stereo config with the search range sized to the geometry."""
+        md = required_max_disp(geoms, self.cfg.rectify.height_range)
+        return dataclasses.replace(self.cfg.stereo, max_disp=md)
+
+    def process_pair(
+        self,
+        img1: jnp.ndarray,
+        img2: jnp.ndarray,
+        geom: RectifiedGeometry,
+        stereo_cfg: Optional[StereoConfig] = None,
+    ) -> PairProduct:
+        cfg = stereo_cfg or self.stereo_cfg_for([geom])
+        r1, r2 = _rectify_pair(
+            jnp.asarray(img1), jnp.asarray(img2),
+            jnp.asarray(geom.H1, jnp.float32), jnp.asarray(geom.H2, jnp.float32),
+            geom.out_shape,
+        )
+        M, b = triangulation_operator(geom)
+        return pair_core(r1, r2, M, b, cfg,
+                         ground_percentile=self.cfg.ground_percentile)
+
+
+def product_point_cloud(
+    product: PairProduct, max_points: int = 1 << 18, key=None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flatten a pair product into fixed-size (N, 3) points + validity weights.
+
+    Invalid pixels stay in the batch with weight 0 (static shapes under jit);
+    when the frame has more valid pixels than ``max_points``, a uniform
+    random subset is kept (weighted Gumbel top-k, no host roundtrip).
+    """
+    xyz = product.xyz.reshape(-1, 3)
+    w = product.valid.reshape(-1).astype(jnp.float32)
+    n = xyz.shape[0]
+    if n <= max_points:
+        return xyz, w
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    score = jnp.log(jnp.maximum(w, 1e-12)) + jax.random.gumbel(key, (n,))
+    _, idx = jax.lax.top_k(score, max_points)
+    return xyz[idx], w[idx]
+
+
+class HeightMapExtractor(SatellitePlugin):
+    """Plugin adapter: emits the reference's layer set
+    (``plugin.py:199-233``) — disparity (turbo), photoconsistency,
+    invalid-mask overlay, and a [z, y, x] points layer coloured by height."""
+
+    def __init__(self, pipeline: HeightMapPipeline | None = None):
+        self.pipeline = pipeline or HeightMapPipeline()
+        self._sources = None
+
+    @property
+    def name(self) -> str:
+        return "Multi-day 3D Point Cloud"
+
+    def set_sources(self, images, rpcs, lon_range, lat_range):
+        """Attach the acquisition stack (replaces the reference's disk scan
+        of ``data/rafael/WV3/PAN/*.ntf``, ``pair_selector.py:47-69``)."""
+        self._sources = (list(images), list(rpcs), lon_range, lat_range)
+
+    def run(self, image=None, viewer=None, pair=(0, 1)) -> List[Layer]:
+        if self._sources is None:
+            raise RuntimeError("call set_sources(...) before run()")
+        images, rpcs, lon_range, lat_range = self._sources
+        i, j = pair
+        geom = self.pipeline.build_geometry(
+            rpcs[i], rpcs[j], lon_range, lat_range,
+            images[i].shape, images[j].shape,
+        )
+        product = self.pipeline.process_pair(images[i], images[j], geom)
+
+        disparity = np.asarray(product.disparity)
+        valid = np.asarray(product.valid)
+        photo = np.asarray(product.photo)
+        rel = np.asarray(product.rel_height)
+
+        layers: List[Layer] = [
+            (np.where(valid, disparity, np.nan),
+             {"name": "disparity", "colormap": "turbo"}, "image"),
+            (photo, {"name": "photoconsistency", "colormap": "gray"}, "image"),
+            ((~valid).astype(np.uint8),
+             {"name": "invalid mask", "opacity": 0.4}, "image"),
+        ]
+        ys, xs = np.nonzero(valid)
+        if len(ys):
+            step = max(1, len(ys) // 200_000)
+            ys, xs = ys[::step], xs[::step]
+            pts = np.stack([rel[ys, xs], ys, xs], axis=1)
+            layers.append(
+                (pts, {
+                    "name": "point cloud",
+                    "features": {"height": rel[ys, xs]},
+                    "size": 1,
+                }, "points")
+            )
+        return layers

@@ -1,0 +1,145 @@
+"""Multi-day fusion: N stereo pairs → one registered, filtered point cloud.
+
+This is the capability the reference README advertises ("Multi-day 3D Point
+Cloud K-means Reconstruction", reference ``README.md:17``) but never
+implements — its plugin emits one independent cloud per pair
+(``plugin.py:106,220-233``). Here the per-pair clouds share one local metric
+frame (they come out of :func:`pcmi_tpu.pipelines.height_map.pair_core`
+triangulation in the AOI frame), so fusion is:
+
+1. pair selection across dates (convergence-angle heuristics, geometry.pairs)
+2. per-pair stereo → cloud (height_map pipeline; one jit compile for all pairs)
+3. ICP registration of every cloud onto the first (cross-date residual
+   RPC bias is a few-metre rigid offset in practice)
+4. kNN statistical outlier rejection over the concatenated cloud
+5. robust DSM gridding (segment-op scatter means)
+6. optional K-means summarisation of the fused cloud (the advertised step)
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcmi_tpu.config import PipelineConfig
+from pcmi_tpu.geometry.pairs import ImageMeta, select_pairs, take_pairs
+from pcmi_tpu.ops import pointcloud as pc
+from pcmi_tpu.pipelines.height_map import (
+    HeightMapPipeline,
+    PairProduct,
+    product_point_cloud,
+)
+
+
+class FusedCloud(NamedTuple):
+    points: jnp.ndarray       # (N, 3) local-frame metres (all pairs, registered)
+    weights: jnp.ndarray      # (N,) 0/1 validity after outlier rejection
+    dsm: jnp.ndarray          # (ny, nx) fused height grid (NaN = empty)
+    dsm_count: jnp.ndarray    # (ny, nx) samples per cell
+    grid_origin: Tuple[float, float]
+    grid_cell: float
+    icp_rmse: jnp.ndarray     # (P,) per-pair registration residual
+    kmeans_centroids: Optional[jnp.ndarray]  # (K, 3) if clustering enabled
+
+
+class MultiDayFusion:
+    """Run the flagship pipeline over selected pairs and fuse the clouds."""
+
+    def __init__(self, cfg: PipelineConfig = PipelineConfig()):
+        self.cfg = cfg
+        self.pipeline = HeightMapPipeline(cfg)
+
+    def select(self, metas: Sequence[ImageMeta]):
+        pairs = select_pairs(metas, self.cfg.pairs)
+        return take_pairs(pairs, self.cfg.pairs.n_pairs)
+
+    def run(
+        self,
+        images: Sequence[jnp.ndarray],
+        rpcs: Sequence,
+        metas: Sequence[ImageMeta],
+        lon_range,
+        lat_range,
+        points_per_pair: int = 1 << 17,
+        with_kmeans: bool = False,
+        grid_cell: Optional[float] = None,
+    ) -> FusedCloud:
+        chosen = self.select(metas)
+        if not chosen:
+            raise ValueError("no valid stereo pairs under the selection config")
+
+        # one shared stereo config -> pair_core compiles once per canvas shape
+        geoms = [
+            self.pipeline.build_geometry(
+                rpcs[p.i], rpcs[p.j], lon_range, lat_range,
+                images[p.i].shape, images[p.j].shape,
+            )
+            for p in chosen
+        ]
+        stereo_cfg = self.pipeline.stereo_cfg_for(geoms)
+
+        clouds, weights = [], []
+        for k, (p, geom) in enumerate(zip(chosen, geoms)):
+            product = self.pipeline.process_pair(
+                images[p.i], images[p.j], geom, stereo_cfg
+            )
+            pts, w = product_point_cloud(
+                product, max_points=points_per_pair, key=jax.random.PRNGKey(k)
+            )
+            clouds.append(pts)
+            weights.append(w)
+
+        # register every cloud onto the first
+        fus = self.cfg.fusion
+        ref_pts, ref_w = clouds[0], weights[0]
+        registered = [ref_pts]
+        rmses = [jnp.float32(0.0)]
+        for pts, w in zip(clouds[1:], weights[1:]):
+            res = pc.icp(
+                pts, w > 0, ref_pts, ref_w > 0,
+                iters=fus.icp_iters, chunk=2048, mode="rigid",
+            )
+            registered.append(pc.apply_rigid(pts, res.R, res.t))
+            rmses.append(res.rmse)
+
+        allpts = jnp.concatenate(registered)
+        allw = jnp.concatenate(weights)
+
+        keep = pc.knn_outlier_mask(
+            allpts, allw > 0, k=fus.knn_k, sigma=fus.knn_sigma, chunk=2048
+        )
+        w_final = (allw > 0) & keep
+
+        # grid extent from the valid fused points (host scalars, pre-jit)
+        cell = float(grid_cell if grid_cell is not None else fus.grid_cell)
+        pts_np = np.asarray(allpts)
+        wv = np.asarray(w_final)
+        if wv.any():
+            x0 = float(np.floor(pts_np[wv, 0].min()))
+            y0 = float(np.floor(pts_np[wv, 1].min()))
+            nx = int(np.ceil((pts_np[wv, 0].max() - x0) / cell)) + 1
+            ny = int(np.ceil((pts_np[wv, 1].max() - y0) / cell)) + 1
+        else:
+            x0 = y0 = 0.0
+            nx = ny = 1
+        dsm, cnt = pc.grid_fuse(
+            allpts[:, :2], allpts[:, 2], w_final.astype(jnp.float32),
+            origin=(x0, y0), cell=cell, shape=(ny, nx),
+        )
+
+        centroids = None
+        if with_kmeans:
+            km = pc.kmeans(
+                allpts, w_final.astype(jnp.float32),
+                k=fus.kmeans_clusters, iters=fus.kmeans_iters,
+            )
+            centroids = km.centroids
+
+        return FusedCloud(
+            points=allpts, weights=w_final.astype(jnp.float32),
+            dsm=dsm, dsm_count=cnt, grid_origin=(x0, y0), grid_cell=cell,
+            icp_rmse=jnp.stack(rmses), kmeans_centroids=centroids,
+        )
