@@ -1,0 +1,105 @@
+"""Benchmark: stereo→height throughput on the flagship pipeline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpix/s/chip", "vs_baseline": N}
+
+``value``        — warm throughput of the jitted per-pair core
+                   (rectified pair -> disparity -> height) on the default
+                   JAX device (the TPU chip under the driver).
+``vs_baseline``  — speedup over the CPU NumPy reference implementation
+                   (pcmi_tpu.ops.stereo.numpy_ref), the BASELINE.json
+                   config-1 parity path, measured here on a smaller crop
+                   with the same disparity-search width and normalised
+                   per megapixel. The reference repo publishes no numbers
+                   (BASELINE.md), so this measured CPU path is the
+                   denominator the ≥20x north-star target refers to.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pcmi_tpu.config import PipelineConfig, RectifyConfig, StereoConfig
+    from pcmi_tpu.geometry.synthetic import aoi_lonlat_ranges, make_stereo_scene
+    from pcmi_tpu.ops.stereo import numpy_ref as nref
+    from pcmi_tpu.pipelines.height_map import HeightMapPipeline, pair_core
+    from pcmi_tpu.geometry.rectify import triangulation_operator
+
+    # --- TPU path: full pair core on a WV3-crop-sized canvas ---
+    scene = make_stereo_scene(
+        seed=1, out_shape=(512, 512), ground_shape=(640, 640),
+        h_range=(0.0, 40.0),
+        views=((10.0, 80.0), (20.0, 250.0)),
+    )
+    cfg = PipelineConfig(
+        stereo=StereoConfig(block_size=9, census_window=5, margin_undefined=8),
+        rectify=RectifyConfig(height_range=(0.0, 40.0)),
+    )
+    pipe = HeightMapPipeline(cfg)
+    geom = pipe.build_geometry(
+        scene.rpcs[0], scene.rpcs[1], *aoi_lonlat_ranges(scene),
+        scene.images[0].shape, scene.images[1].shape,
+    )
+    stereo_cfg = pipe.stereo_cfg_for([geom])
+
+    from pcmi_tpu.pipelines.height_map import _rectify_pair
+    r1, r2 = _rectify_pair(
+        scene.images[0], scene.images[1],
+        jnp.asarray(geom.H1, jnp.float32), jnp.asarray(geom.H2, jnp.float32),
+        geom.out_shape,
+    )
+    M, b = triangulation_operator(geom)
+
+    def run_once():
+        out = pair_core(r1, r2, M, b, stereo_cfg)
+        jax.block_until_ready(out.height)
+        return out
+
+    run_once()  # compile
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = run_once()
+    dt = (time.perf_counter() - t0) / n_iter
+    h, w = geom.out_shape
+    mpix_tpu = h * w / dt / 1e6
+
+    # --- CPU NumPy reference on a crop, same disparity width ---
+    ch, cw = 192, 192
+    l_np = np.asarray(r1)[:ch, :cw]
+    r_np = np.asarray(r2)[:ch, :cw]
+    v_np = np.ones((ch, cw), bool)
+    t0 = time.perf_counter()
+    nref.stereo_pipeline_np(
+        l_np, r_np, v_np, v_np,
+        stereo_cfg.max_disp, stereo_cfg.block_size, stereo_cfg.lr_threshold,
+    )
+    dt_cpu = time.perf_counter() - t0
+    mpix_cpu = ch * cw / dt_cpu / 1e6
+
+    result = {
+        "metric": "stereo_to_height_throughput",
+        "value": round(mpix_tpu, 3),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix_tpu / mpix_cpu, 2),
+        "detail": {
+            "canvas": [h, w],
+            "max_disp": stereo_cfg.max_disp,
+            "cpu_ref_mpix_s": round(mpix_cpu, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
