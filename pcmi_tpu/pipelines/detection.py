@@ -1,0 +1,246 @@
+"""Sliced-tile object detection with a pluggable detector head.
+
+Rebuild of the reference's SAHI + YOLO-OBB path
+(``members/jasraj/object_annotation/core.py:78-175``): large scenes are cut
+into overlapping slices (640 px, 20 % overlap — ``:119-126``), a detector
+runs per slice, slice detections are shifted back to scene coordinates and
+fused with NMS, and results become a napari shapes layer with
+``{class}: {confidence:.2f}`` labels (``plugin.py:32-98``).
+
+TPU-first: the slicer produces ONE static ``(N, tile, tile)`` batch (the
+whole point of SAHI is batching — on TPU that is a single vmapped forward
+pass, not a Python loop over temp PNGs); NMS is the standard O(K²)
+vectorised suppression matrix under ``lax``; the detector is an injected
+callable ``(N, tile, tile) -> (N, K, 6)`` of ``(y0, x0, y1, x1, score,
+class)`` so any Flax model (e.g. :mod:`pcmi_tpu.models.detector`) plugs in.
+A training-free blob detector based on the saliency map provides the
+out-of-the-box default, mirroring the reference's spirit of shipping a
+usable detector without its 100-epoch YOLO checkpoint.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcmi_tpu.interface import Layer, SatellitePlugin
+
+
+class SliceGrid(NamedTuple):
+    offsets: np.ndarray   # (N, 2) int (y, x) slice origins
+    tile: int
+
+
+def slice_offsets(shape: Tuple[int, int], tile: int = 640,
+                  overlap: float = 0.2) -> SliceGrid:
+    """SAHI-style slice origins covering ``shape`` (ref ``:119-126``)."""
+    h, w = shape
+    step = max(1, int(tile * (1.0 - overlap)))
+
+    def starts(total):
+        if total <= tile:
+            return [0]
+        s = list(range(0, total - tile, step))
+        s.append(total - tile)
+        return s
+
+    offs = [(y, x) for y in starts(h) for x in starts(w)]
+    return SliceGrid(offsets=np.asarray(offs, np.int32), tile=tile)
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def extract_slices(img: jnp.ndarray, offsets: jnp.ndarray, tile: int):
+    """(N, tile, tile) batch of slices (single gather-free vmapped slice)."""
+    def one(off):
+        return jax.lax.dynamic_slice(img, (off[0], off[1]), (tile, tile))
+
+    return jax.vmap(one)(offsets)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float = 0.5,
+        max_out: int = 256):
+    """Vectorised NMS: returns indices of kept boxes (padded with -1).
+
+    Boxes are (K, 4) ``(y0, x0, y1, x1)``; the suppression matrix is O(K²)
+    elementwise — ideal VPU shape for K ≲ few thousand.
+    """
+    y0, x0, y1, x1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.maximum(y1 - y0, 0) * jnp.maximum(x1 - x0, 0)
+    iy0 = jnp.maximum(y0[:, None], y0[None, :])
+    ix0 = jnp.maximum(x0[:, None], x0[None, :])
+    iy1 = jnp.minimum(y1[:, None], y1[None, :])
+    ix1 = jnp.minimum(x1[:, None], x1[None, :])
+    inter = jnp.maximum(iy1 - iy0, 0) * jnp.maximum(ix1 - ix0, 0)
+    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
+
+    order = jnp.argsort(-scores)
+    k = boxes.shape[0]
+
+    def body(i, keep):
+        idx = order[i]
+        # suppressed if any higher-scoring kept box overlaps it
+        higher = keep & (scores > scores[idx])
+        over = jnp.any(higher & (iou[idx] > iou_thresh) &
+                       (jnp.arange(k) != idx))
+        return keep.at[idx].set(jnp.where(over, False, keep[idx]))
+
+    keep0 = scores > 0
+    keep = jax.lax.fori_loop(0, k, body, keep0)
+    kept_scores = jnp.where(keep, scores, -jnp.inf)
+    _, top = jax.lax.top_k(kept_scores, min(max_out, k))
+    valid = jnp.take(keep, top)
+    return jnp.where(valid, top, -1)
+
+
+def default_blob_detector(max_boxes: int = 16, thresh_scale: float = 3.0):
+    """Training-free per-slice detector: spectral-residual saliency blobs.
+
+    Returns a callable ``(N, T, T) -> (N, max_boxes, 6)`` rows
+    ``(y0, x0, y1, x1, score, class=0)`` with score 0 padding.
+    """
+    from pcmi_tpu.pipelines.saliency import label_components, spectral_residual_tile
+
+    @jax.jit
+    def detect(batch):
+        def one(tile):
+            sal = spectral_residual_tile(tile)
+            mask = sal >= jnp.minimum(thresh_scale * sal.mean(), sal.max())
+            labels = label_components(mask, max_iters=64)
+            # top blobs by size via segment counts over a capped id remap
+            h, w = labels.shape
+            # compress labels to root-index buckets mod a fixed table
+            table = 512
+            ids = jnp.where(labels >= 0, labels % table, table)
+            counts = jax.ops.segment_sum(
+                jnp.ones((h * w,), jnp.float32), ids.reshape(-1),
+                num_segments=table + 1,
+            )
+            counts = counts.at[table].set(0.0)
+            _, top = jax.lax.top_k(counts, max_boxes)
+            ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+            def box_of(t):
+                m = ids == t
+                any_ = jnp.any(m)
+                big = jnp.int32(1 << 20)
+                y0 = jnp.min(jnp.where(m, ys, big))
+                x0 = jnp.min(jnp.where(m, xs, big))
+                y1 = jnp.max(jnp.where(m, ys, -1)) + 1
+                x1 = jnp.max(jnp.where(m, xs, -1)) + 1
+                score = jnp.where(any_, jnp.sum(jnp.where(m, sal, 0.0)) /
+                                  jnp.maximum(jnp.sum(m), 1), 0.0)
+                return jnp.stack([y0.astype(jnp.float32), x0.astype(jnp.float32),
+                                  y1.astype(jnp.float32), x1.astype(jnp.float32),
+                                  score, 0.0])
+
+            return jax.vmap(box_of)(top)
+
+        return jax.vmap(one)(batch)
+
+    return detect
+
+
+class Detection(NamedTuple):
+    boxes: np.ndarray     # (M, 4) scene-frame (y0, x0, y1, x1)
+    scores: np.ndarray    # (M,)
+    classes: np.ndarray   # (M,) int
+
+
+class ObjectDetector:
+    """Sliced inference driver (ref ``ObjectDetector.detect`` ``:89-137``)."""
+
+    def __init__(
+        self,
+        detector: Callable | None = None,
+        tile: int = 640,
+        overlap: float = 0.2,
+        score_thresh: float = 0.1,
+        iou_thresh: float = 0.5,
+    ):
+        self.detector = detector or default_blob_detector()
+        self.tile = tile
+        self.overlap = overlap
+        self.score_thresh = score_thresh
+        self.iou_thresh = iou_thresh
+
+    def detect(self, image: np.ndarray) -> Detection:
+        img = jnp.asarray(np.asarray(image, np.float32))
+        if img.ndim == 3:
+            img = img.mean(-1)
+        h, w = img.shape
+        tile = min(self.tile, h, w)
+        grid = slice_offsets((h, w), tile, self.overlap)
+        batch = extract_slices(img, jnp.asarray(grid.offsets), tile)
+        det = np.asarray(self.detector(batch))       # (N, K, 6)
+
+        boxes = det[..., :4] + np.concatenate(
+            [grid.offsets, grid.offsets], axis=1
+        )[:, None, :]
+        boxes = boxes.reshape(-1, 4)
+        scores = det[..., 4].reshape(-1)
+        classes = det[..., 5].reshape(-1).astype(np.int32)
+        ok = scores > self.score_thresh
+        boxes, scores, classes = boxes[ok], scores[ok], classes[ok]
+        if len(boxes) == 0:
+            return Detection(boxes=np.zeros((0, 4)), scores=np.zeros(0),
+                             classes=np.zeros(0, np.int32))
+        keep = np.asarray(nms(jnp.asarray(boxes, jnp.float32),
+                              jnp.asarray(scores, jnp.float32),
+                              self.iou_thresh))
+        keep = keep[keep >= 0]
+        return Detection(boxes=boxes[keep], scores=scores[keep],
+                         classes=classes[keep])
+
+    @staticmethod
+    def to_coco(det: Detection, image_id: int = 0) -> list:
+        """COCO-style dicts (ref ``export_to_coco_json`` ``:177-222``)."""
+        out = []
+        for (y0, x0, y1, x1), s, c in zip(det.boxes, det.scores, det.classes):
+            out.append({
+                "image_id": image_id,
+                "category_id": int(c),
+                "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
+                "score": float(s),
+            })
+        return out
+
+
+class ObjectAnnotationPlugin(SatellitePlugin):
+    """Shapes-layer parity with ``object_annotation/plugin.py:32-98``."""
+
+    def __init__(self, detector: ObjectDetector | None = None,
+                 class_names: List[str] | None = None):
+        self.detector = detector or ObjectDetector()
+        self.class_names = class_names or ["object"]
+
+    @property
+    def name(self) -> str:
+        return "Object Detection"
+
+    def run(self, image: np.ndarray, viewer=None) -> List[Layer]:
+        det = self.detector.detect(image)
+        layers: List[Layer] = [(image, {"name": "input"}, "image")]
+        if len(det.boxes):
+            rects = np.stack([
+                np.array([[y0, x0], [y0, x1], [y1, x1], [y1, x0]], np.float32)
+                for (y0, x0, y1, x1) in det.boxes
+            ])
+            labels = [
+                f"{self.class_names[min(c, len(self.class_names) - 1)]}: {s:.2f}"
+                for c, s in zip(det.classes, det.scores)
+            ]
+            layers.append((
+                rects,
+                {"name": "detections", "edge_color": "lime",
+                 "face_color": "transparent", "shape_type": "rectangle",
+                 "properties": {"label": labels},
+                 "text": {"string": "{label}", "color": "lime"}},
+                "shapes",
+            ))
+        return layers

@@ -85,21 +85,31 @@ def _rectify_pair(img1, img2, H1, H2, out_shape, fill=-1.0):
 
 
 def photoconsistency(left: jnp.ndarray, right: jnp.ndarray,
-                     disparity: jnp.ndarray) -> jnp.ndarray:
+                     disparity: jnp.ndarray,
+                     d_min: int = -160, d_max: int = 160) -> jnp.ndarray:
     """|right(y, x - d) - left(y, x)| on normalised images — the reference's
-    warp-difference map (``processing.py:94-115``), as one gather."""
+    warp-difference map (``processing.py:94-115``).
+
+    Gather-free on TPU: the fractional per-pixel shift is expressed as a
+    scan over the static disparity range with triangle (linear-interp)
+    weights ``max(0, 1 - |d - s|)`` — each step is one contiguous dynamic
+    slice of the padded right image, so the whole map is D streaming VPU
+    passes instead of ~1M random gathers.
+    """
     h, w = left.shape
+    pad = max(abs(d_min), abs(d_max)) + 1
+    rp = jnp.pad(right, ((0, 0), (pad, pad)))
+
+    def step(acc, s):
+        shifted = jax.lax.dynamic_slice_in_dim(rp, pad - s, w, axis=1)
+        wgt = jnp.maximum(1.0 - jnp.abs(disparity - s), 0.0)
+        return acc + wgt * shifted, None
+
+    ds = jnp.arange(d_min, d_max + 1, dtype=jnp.int32)
+    r, _ = jax.lax.scan(step, jnp.zeros_like(left), ds, unroll=8)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     x2 = xs - disparity
-    x0 = jnp.floor(x2).astype(jnp.int32)
-    t = x2 - x0.astype(jnp.float32)
-    x0c = jnp.clip(x0, 0, w - 1)
-    x1c = jnp.clip(x0 + 1, 0, w - 1)
-    r = (
-        jnp.take_along_axis(right, x0c, axis=1) * (1 - t)
-        + jnp.take_along_axis(right, x1c, axis=1) * t
-    )
-    inb = (x2 >= 0) & (x2 <= w - 1)
+    inb = (x2 >= 0) & (x2 <= w - 1) & (disparity >= d_min) & (disparity <= d_max)
     return jnp.where(inb, jnp.abs(r - left), 1.0)
 
 
@@ -127,7 +137,10 @@ def pair_core(
 
     res = compute_disparity(n1, n2, v1, v2, cfg, aggregation="sgm")
     res = refine_disparity(res, n1, cfg)
-    photo = photoconsistency(n1, n2, res.disparity)
+    photo = photoconsistency(
+        n1, n2, res.disparity,
+        d_min=cfg.min_disparity, d_max=cfg.min_disparity + cfg.max_disp - 1,
+    )
 
     # Blunder gates: matching errors concentrate in foreground-fattening /
     # occlusion bands around disparity discontinuities (the failure mode the
