@@ -1,0 +1,205 @@
+"""Headless CLI — the primary entry point the reference never had.
+
+The reference is launchable only through the napari GUI (``viewer.py:400``,
+SURVEY §7 step 6 calls this out as a weakness). Here every component runs
+headless over TIFF inputs:
+
+    python -m pcmi_tpu list
+    python -m pcmi_tpu run saliency --input scene.tif --output out/
+    python -m pcmi_tpu run stitching --input a.tif --input2 b.tif --output out/
+    python -m pcmi_tpu height-map --demo --output out/        # synthetic scene
+    python -m pcmi_tpu fuse --demo --output out/              # multi-day fusion
+    python -m pcmi_tpu bench
+
+Config overrides use dotted keys: ``--set stereo.max_disp=128``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_image(path: str) -> np.ndarray:
+    from pcmi_tpu.io.raster import read_tiff
+
+    return np.asarray(read_tiff(path), np.float32)
+
+
+def _save_layers(layers, outdir: str) -> list:
+    from pcmi_tpu.io.raster import write_tiff
+
+    os.makedirs(outdir, exist_ok=True)
+    written = []
+    for data, params, kind in layers:
+        name = str(params.get("name", kind)).replace(" ", "_")
+        arr = np.asarray(data)
+        if kind in ("image", "labels") and arr.ndim in (2, 3):
+            path = os.path.join(outdir, f"{name}.tif")
+            write_tiff(path, arr.astype(np.float32))
+        else:
+            path = os.path.join(outdir, f"{name}.json")
+            with open(path, "w", encoding="utf-8") as fh:
+                json.dump(np.asarray(data).tolist(), fh)
+        written.append(path)
+    return written
+
+
+def _parse_overrides(pairs):
+    out = {}
+    for p in pairs or []:
+        key, _, val = p.partition("=")
+        try:
+            out[key] = json.loads(val)
+        except json.JSONDecodeError:
+            out[key] = val
+    return out
+
+
+def _demo_scene(cfg):
+    from pcmi_tpu.geometry.synthetic import aoi_lonlat_ranges, make_stereo_scene
+
+    scene = make_stereo_scene(
+        seed=1, out_shape=(512, 512), ground_shape=(640, 640),
+        h_range=cfg.rectify.height_range,
+        views=((10.0, 80.0), (20.0, 250.0), (16.0, 170.0)),
+    )
+    return scene, aoi_lonlat_ranges(scene)
+
+
+def cmd_list(args) -> int:
+    from pcmi_tpu import registry
+
+    for name in registry.available():
+        print(name)
+    fails = registry.failures()
+    if fails:
+        print("\nunavailable:", file=sys.stderr)
+        for name, err in fails.items():
+            print(f"  {name}: {err.splitlines()[-1]}", file=sys.stderr)
+    return 0
+
+
+def cmd_run(args) -> int:
+    from pcmi_tpu import registry
+
+    plugin = registry.create(args.plugin)
+    image = _load_image(args.input)
+    kwargs = {}
+    if args.input2:
+        kwargs["image2"] = _load_image(args.input2)
+    layers = plugin.run(image, **kwargs)
+    for path in _save_layers(layers, args.output):
+        print(path)
+    return 0
+
+
+def cmd_height_map(args) -> int:
+    from pcmi_tpu.config import PipelineConfig, from_flat_overrides
+    from pcmi_tpu.io.raster import write_ply, write_tiff
+
+    cfg = from_flat_overrides(PipelineConfig(), _parse_overrides(args.set))
+    from pcmi_tpu.pipelines.height_map import HeightMapPipeline, product_point_cloud
+
+    if not args.demo:
+        print("only --demo sources are wired in this build", file=sys.stderr)
+        return 2
+    scene, (lon_r, lat_r) = _demo_scene(cfg)
+    pipe = HeightMapPipeline(cfg)
+    geom = pipe.build_geometry(scene.rpcs[0], scene.rpcs[1], lon_r, lat_r,
+                               scene.images[0].shape, scene.images[1].shape)
+    product = pipe.process_pair(scene.images[0], scene.images[1], geom)
+    os.makedirs(args.output, exist_ok=True)
+    write_tiff(os.path.join(args.output, "height.tif"),
+               np.asarray(product.height))
+    write_tiff(os.path.join(args.output, "disparity.tif"),
+               np.asarray(product.disparity))
+    pts, w = product_point_cloud(product)
+    keep = np.asarray(w) > 0
+    write_ply(os.path.join(args.output, "cloud.ply"),
+              np.asarray(pts)[keep], np.asarray(pts)[keep][:, 2])
+    valid = np.asarray(product.valid)
+    print(json.dumps({
+        "canvas": list(geom.out_shape),
+        "valid_fraction": float(valid.mean()),
+        "points": int(keep.sum()),
+    }))
+    return 0
+
+
+def cmd_fuse(args) -> int:
+    from pcmi_tpu.config import PipelineConfig, from_flat_overrides
+    from pcmi_tpu.geometry.pairs import ImageMeta
+    from pcmi_tpu.io.raster import write_ply, write_tiff
+    from pcmi_tpu.pipelines.multiday import MultiDayFusion
+
+    cfg = from_flat_overrides(PipelineConfig(), _parse_overrides(args.set))
+    if not args.demo:
+        print("only --demo sources are wired in this build", file=sys.stderr)
+        return 2
+    scene, (lon_r, lat_r) = _demo_scene(cfg)
+    views = [(10.0, 80.0), (20.0, 250.0), (16.0, 170.0)]
+    metas = [ImageMeta(i, inc, az, date=30.0 * i)
+             for i, (inc, az) in enumerate(views)]
+    fusion = MultiDayFusion(cfg)
+    fused = fusion.run(scene.images, scene.rpcs, metas, lon_r, lat_r,
+                       points_per_pair=1 << 16, with_kmeans=True,
+                       grid_cell=2.0)
+    os.makedirs(args.output, exist_ok=True)
+    write_tiff(os.path.join(args.output, "dsm.tif"), np.asarray(fused.dsm))
+    keep = np.asarray(fused.weights) > 0
+    pts = np.asarray(fused.points)[keep]
+    write_ply(os.path.join(args.output, "fused_cloud.ply"), pts, pts[:, 2])
+    print(json.dumps({
+        "dsm_shape": list(np.asarray(fused.dsm).shape),
+        "points": int(keep.sum()),
+        "icp_rmse": [float(x) for x in np.asarray(fused.icp_rmse)],
+    }))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench  # repo-root bench.py
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="pcmi_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list available plugins")
+
+    rp = sub.add_parser("run", help="run a plugin over a TIFF")
+    rp.add_argument("plugin")
+    rp.add_argument("--input", required=True)
+    rp.add_argument("--input2")
+    rp.add_argument("--output", default="out")
+
+    for name in ("height-map", "fuse"):
+        p = sub.add_parser(name)
+        p.add_argument("--demo", action="store_true",
+                       help="use the synthetic ground-truth scene")
+        p.add_argument("--output", default="out")
+        p.add_argument("--set", action="append",
+                       help="config override, e.g. stereo.max_disp=128")
+
+    sub.add_parser("bench", help="run the standard benchmark")
+
+    args = ap.parse_args(argv)
+    return {
+        "list": cmd_list,
+        "run": cmd_run,
+        "height-map": cmd_height_map,
+        "fuse": cmd_fuse,
+        "bench": cmd_bench,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
