@@ -41,6 +41,8 @@ class StereoConfig:
     sgm_p1: float = 0.03
     sgm_p2: float = 0.48
     sgm_paths: int = 4               # L->R, R->L, T->B, B->T
+    # "auto": Pallas kernels on TPU, XLA scans elsewhere; "pallas"/"xla" force
+    sgm_backend: str = "auto"
     # Edge-aware refinement standing in for the WLS post-filter
     # (reference disparity.py:287-310): fast guided filter.
     gf_radius: int = 9

@@ -9,6 +9,11 @@ from pcmi_tpu.io.raster import (
     write_ply,
     write_tiff,
 )
+from pcmi_tpu.io.native import (
+    NativeRaster,
+    TileLoader,
+    read_tiff_fast,
+)
 from pcmi_tpu.io.crop import (
     CropWindow,
     crop_window_from_extent,
@@ -31,4 +36,7 @@ __all__ = [
     "crop_window_from_extent",
     "crop_window_from_kml",
     "shift_rpc",
+    "NativeRaster",
+    "TileLoader",
+    "read_tiff_fast",
 ]

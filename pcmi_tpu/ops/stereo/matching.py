@@ -27,6 +27,16 @@ import jax.numpy as jnp
 from pcmi_tpu.config import StereoConfig
 
 
+def _scan_unroll() -> int:
+    """Unroll factor for the disparity/SGM scans.
+
+    Unrolling amortises per-step overhead on TPU (sequential recurrences are
+    launch-bound); on the CPU test backend it only multiplies compile time.
+    Resolved at trace time from the active backend.
+    """
+    return 8 if jax.default_backend() == "tpu" else 1
+
+
 class DisparityResult(NamedTuple):
     disparity: jnp.ndarray   # (H, W) float32, signed px
     valid: jnp.ndarray       # (H, W) bool — passed L/R consistency & masks
@@ -116,7 +126,7 @@ def build_cost_volume(
         return None, _box_edge(cost, cfg.block_size)
 
     ds = jnp.arange(cfg.max_disp, dtype=jnp.int32) + cfg.min_disparity
-    _, vol = jax.lax.scan(step, None, ds)
+    _, vol = jax.lax.scan(step, None, ds, unroll=_scan_unroll())
     return vol
 
 
@@ -140,12 +150,22 @@ def _sgm_scan(vol_t: jnp.ndarray, p1: float, p2: float, reverse: bool):
         return cur, cur
 
     init = jnp.zeros_like(vol_t[0])  # (D, span)
-    _, out = jax.lax.scan(step, init, vol_t, reverse=reverse)
+    _, out = jax.lax.scan(step, init, vol_t, reverse=reverse, unroll=_scan_unroll())
     return out
 
 
 def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
-    """4-path semi-global aggregation of a (D, H, W) cost volume."""
+    """4-path semi-global aggregation of a (D, H, W) cost volume.
+
+    Dispatches to the Pallas kernel path on TPU (``cfg.sgm_backend``):
+    the scan formulation below is the portable/parity reference."""
+    use_pallas = cfg.sgm_backend == "pallas" or (
+        cfg.sgm_backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from pcmi_tpu.ops.stereo.pallas_kernels import sgm_aggregate_pallas_sub
+
+        return sgm_aggregate_pallas_sub(vol, cfg.sgm_p1, cfg.sgm_p2)
     p1, p2 = cfg.sgm_p1, cfg.sgm_p2
     # horizontal paths: scan over W with (D, H) state
     vol_w = jnp.transpose(vol, (2, 0, 1))  # (W, D, H)
@@ -161,13 +181,22 @@ def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
 
 
 def wta_disparity(vol: jnp.ndarray, d_min: int):
-    """Argmin over D + parabola sub-pixel (matches numpy_ref semantics)."""
+    """Argmin over D + parabola sub-pixel (matches numpy_ref semantics).
+
+    Gather-free: ``take_along_axis`` over the D axis lowers to scatter/gather
+    (slow on TPU); the best/prev/next costs are instead extracted with
+    masked reductions — three streaming passes over the volume, VPU-shaped.
+    """
     D = vol.shape[0]
-    best_d = jnp.argmin(vol, axis=0)  # (H, W)
-    take = lambda idx: jnp.take_along_axis(vol, idx[None], axis=0)[0]
-    best = take(best_d)
-    prev = take(jnp.clip(best_d - 1, 0, D - 1))
-    nxt = take(jnp.clip(best_d + 1, 0, D - 1))
+    best_d = jnp.argmin(vol, axis=0).astype(jnp.int32)  # (H, W)
+    ds = jax.lax.broadcasted_iota(jnp.int32, vol.shape, 0)
+    sel = ds == best_d[None]
+    big = jnp.float32(1e9)
+    best = jnp.min(vol, axis=0)
+    vol_up = jnp.concatenate([jnp.full_like(vol[:1], big), vol[:-1]], axis=0)
+    vol_dn = jnp.concatenate([vol[1:], jnp.full_like(vol[:1], big)], axis=0)
+    prev = jnp.sum(jnp.where(sel, vol_up, 0.0), axis=0)
+    nxt = jnp.sum(jnp.where(sel, vol_dn, 0.0), axis=0)
     denom = prev - 2 * best + nxt
     offset = jnp.where(
         (denom > 1e-9) & (best_d > 0) & (best_d < D - 1),
@@ -178,14 +207,35 @@ def wta_disparity(vol: jnp.ndarray, d_min: int):
     return disp, best
 
 
-def lr_consistency(disp_l: jnp.ndarray, disp_r: jnp.ndarray, thresh: float):
-    """|dL(x) - dR(x - dL(x))| <= t (ref ``disparity.py:229-250``)."""
+def lr_consistency(
+    disp_l: jnp.ndarray, disp_r: jnp.ndarray, thresh: float,
+    d_min: int | None = None, d_max: int | None = None,
+):
+    """|dL(x) - dR(x - dL(x))| <= t (ref ``disparity.py:229-250``).
+
+    Gather-free: the per-pixel shift ``x - round(dL)`` is resolved by
+    scanning the *static* disparity range and masking — each step is a
+    dynamic slice of a padded plane (contiguous, fast) instead of a
+    per-pixel gather. Disparities outside [d_min, d_max] fail the check.
+    """
     h, w = disp_l.shape
+    if d_min is None or d_max is None:
+        # fall back to a conservative static range derived from the shape
+        raise ValueError("lr_consistency needs the static disparity range")
+    pad = max(abs(d_min), abs(d_max)) + 1
+    rp = jnp.pad(disp_r, ((0, 0), (pad, pad)),
+                 constant_values=jnp.float32(1e9))
+    d_round = jnp.round(disp_l)
+
+    def step(acc, s):
+        shifted = jax.lax.dynamic_slice_in_dim(rp, pad - s, w, axis=1)
+        return acc + jnp.where(d_round == s, shifted, 0.0), None
+
+    ds = jnp.arange(d_min, d_max + 1, dtype=jnp.int32)
+    dr, _ = jax.lax.scan(step, jnp.zeros_like(disp_l), ds, unroll=_scan_unroll())
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    x2 = jnp.round(xs - disp_l).astype(jnp.int32)
-    inb = (x2 >= 0) & (x2 < w)
-    x2c = jnp.clip(x2, 0, w - 1)
-    dr = jnp.take_along_axis(disp_r, x2c, axis=1)
+    x2 = xs - d_round
+    inb = (x2 >= 0) & (x2 < w) & (d_round >= d_min) & (d_round <= d_max)
     return inb & (jnp.abs(disp_l - dr) <= thresh)
 
 
@@ -219,7 +269,9 @@ def compute_disparity(
     )
     disp_r = disp_rf[:, ::-1]
 
-    ok = lr_consistency(disp_l, disp_r, cfg.lr_threshold)
+    ok = lr_consistency(disp_l, disp_r, cfg.lr_threshold,
+                        d_min=cfg.min_disparity,
+                        d_max=cfg.min_disparity + cfg.max_disp - 1)
     return DisparityResult(
         disparity=disp_l,
         valid=ok & valid_l,

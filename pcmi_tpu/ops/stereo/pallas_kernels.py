@@ -1,0 +1,346 @@
+"""Pallas TPU kernels for the SGM hot path.
+
+XLA's ``lax.scan`` formulation of the semi-global recurrence
+(:func:`pcmi_tpu.ops.stereo.matching._sgm_scan`) runs ~10x off HBM
+speed-of-light: each scan step is a tiny (D, span) elementwise op chained
+by a sequential dependency, and the 4 directions each pay transposes and
+stack copies of the full volume.
+
+Kernel design (one direction per ``pallas_call``):
+
+* Volume layout ``(H, W, D)`` with D padded to the 128-lane width — the
+  recurrence state for a band of 128 rows is a ``(128, 128)`` register
+  tile: min-over-disparities is a lane reduction, the d±1 terms are lane
+  rolls, every step is full-width VPU work.
+* The volume stays in HBM (``memory_space=ANY``); the kernel streams
+  ``(BAND, CHUNK, 128)`` blocks through VMEM with double-buffered async
+  DMA in scan order (forward or reverse), computes CHUNK recurrence steps
+  per block, and streams the aggregated block back out. Per direction the
+  traffic is exactly read-volume + write-volume.
+* The four directional outputs are combined by one fused XLA add.
+
+Recurrence (Hirschmüller 2008, parity with ``matching._sgm_scan``):
+    L(p, d) = C(p, d) + min(L', L'[d-1]+P1, L'[d+1]+P1, min_d L' + P2) - min_d L'
+
+Spatial padding is zero-valued so the recurrence washes in exactly like
+the XLA scan's zero init (BIG spatial padding would destroy the cost in
+f32: c + 1e9 - 1e9 rounds c away). Disparity lane padding uses BIG to act
+as the no-neighbour edge.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# plain float: a jnp scalar would be a captured constant inside the kernel
+BIG = 1e9
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _step(prev, c, p1, p2):
+    """One SGM update on a (rows, 128) tile; lanes = disparities."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 1)
+    n = prev.shape[-1]
+    m = jnp.min(prev, axis=-1, keepdims=True)
+    up = jnp.where(lanes == 0, BIG, pltpu.roll(prev, 1, axis=prev.ndim - 1))
+    # pltpu.roll requires a non-negative shift: -1 == n-1 circularly
+    dn = jnp.where(lanes == n - 1, BIG, pltpu.roll(prev, n - 1, axis=prev.ndim - 1))
+    best = jnp.minimum(jnp.minimum(prev, m + p2),
+                       jnp.minimum(up + p1, dn + p1))
+    return c + best - m
+
+
+def _step_sub(prev, c, p1, p2):
+    """SGM update with disparities on SUBLANES (axis -2), band on lanes.
+
+    Sublane shifts and reductions are cheaper than lane crossbars on the
+    VPU, so this layout beats the lane-disparity variant for the per-step
+    recurrence math."""
+    subl = jax.lax.broadcasted_iota(jnp.int32, prev.shape, prev.ndim - 2)
+    n = prev.shape[-2]
+    m = jnp.min(prev, axis=-2, keepdims=True)
+    up = jnp.where(subl == 0, BIG, pltpu.roll(prev, 1, axis=prev.ndim - 2))
+    dn = jnp.where(subl == n - 1, BIG,
+                   pltpu.roll(prev, n - 1, axis=prev.ndim - 2))
+    best = jnp.minimum(jnp.minimum(prev, m + p2),
+                       jnp.minimum(up + p1, dn + p1))
+    return c + best - m
+
+
+def _make_dir_kernel_sub(reverse: bool, span: int, chunk: int,
+                         band: int, p1: float, p2: float):
+    """One-direction kernel over an (S, D, B) volume scanning axis 0.
+
+    ``S`` = scan extent, ``D`` = padded disparities (sublanes), ``B`` =
+    total band extent (lanes). Grid over B/band."""
+    nchunks = span // chunk
+
+    def kernel(vol_hbm, out_hbm, inbuf, outbuf, insem, outsem):
+        b = pl.program_id(0)
+
+        def chunk_start(k):
+            c = k if not reverse else nchunks - 1 - k
+            return c * chunk
+
+        def hbm_block(ref, k):
+            return ref.at[pl.ds(chunk_start(k), chunk), :,
+                          pl.ds(b * band, band)]
+
+        def start_in(k, slot):
+            pltpu.make_async_copy(hbm_block(vol_hbm, k), inbuf.at[slot],
+                                  insem.at[slot]).start()
+
+        def wait_in(k, slot):
+            pltpu.make_async_copy(hbm_block(vol_hbm, k), inbuf.at[slot],
+                                  insem.at[slot]).wait()
+
+        def start_out(k, slot):
+            pltpu.make_async_copy(outbuf.at[slot], hbm_block(out_hbm, k),
+                                  outsem.at[slot]).start()
+
+        def wait_out(k, slot):
+            pltpu.make_async_copy(outbuf.at[slot], hbm_block(out_hbm, k),
+                                  outsem.at[slot]).wait()
+
+        start_in(0, 0)
+        if nchunks > 1:
+            start_in(1, 1)
+        state0 = jnp.zeros((inbuf.shape[2], band), jnp.float32)
+
+        def chunk_body(k, state):
+            slot = k % 2
+            wait_in(k, slot)
+
+            @pl.when(k >= 2)
+            def _():
+                wait_out(k - 2, slot)
+
+            UNROLL = 4  # amortise per-iteration loop overhead (chunk % 4 == 0)
+
+            def pos_body(jj, st):
+                for u in range(UNROLL):
+                    j = jj * UNROLL + u
+                    x = j if not reverse else chunk - 1 - j
+                    st = _step_sub(st, inbuf[slot, x], p1, p2)
+                    outbuf[slot, x] = st
+                return st
+
+            state = jax.lax.fori_loop(0, chunk // UNROLL, pos_body, state)
+            start_out(k, slot)
+
+            @pl.when(k + 2 < nchunks)
+            def _():
+                start_in(k + 2, slot)
+
+            return state
+
+        jax.lax.fori_loop(0, nchunks, chunk_body, state0)
+        wait_out(nchunks - 1, (nchunks - 1) % 2)
+        if nchunks > 1:
+            wait_out(nchunks - 2, (nchunks - 2) % 2)
+
+    return kernel
+
+
+def _dir_call_sub(vol_sdb, reverse, band, chunk, p1, p2):
+    s, dp, bt = vol_sdb.shape
+    kernel = _make_dir_kernel_sub(reverse, s, chunk, band, p1, p2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((s, dp, bt), jnp.float32),
+        grid=(bt // band,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, dp, band), jnp.float32),
+            pltpu.VMEM((2, chunk, dp, band), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(vol_sdb)
+
+
+@partial(jax.jit, static_argnames=("p1", "p2", "band", "chunk"))
+def sgm_aggregate_pallas_sub(
+    vol_dhw: jnp.ndarray,
+    p1: float,
+    p2: float,
+    band: int = 128,
+    chunk: int = 16,
+) -> jnp.ndarray:
+    """4-path SGM on a (D, H, W) volume, disparity-on-sublanes kernels.
+
+    Returns the (D, H, W) mean of the four directional aggregations."""
+    d, h, w = vol_dhw.shape
+    dp = int(np.ceil(d / 8) * 8)
+    gran = int(np.lcm(band, chunk))  # band divides the grid, chunk the span
+    hp = int(np.ceil(h / gran) * gran)
+    wp = int(np.ceil(w / gran) * gran)
+    vol = jnp.pad(vol_dhw, ((0, dp - d), (0, 0), (0, 0)), constant_values=BIG)
+    vol = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    vol_v = jnp.swapaxes(vol, 0, 1)            # (H, D, W): scan rows
+    tb = _dir_call_sub(vol_v, False, band, chunk, p1, p2)
+    bt = _dir_call_sub(vol_v, True, band, chunk, p1, p2)
+    vol_h = jnp.transpose(vol, (2, 0, 1))      # (W, D, H): scan cols
+    lr = _dir_call_sub(vol_h, False, band, chunk, p1, p2)
+    rl = _dir_call_sub(vol_h, True, band, chunk, p1, p2)
+    out = (jnp.swapaxes(tb + bt, 0, 1)
+           + jnp.transpose(lr + rl, (1, 2, 0))) * 0.25
+    return out[:d, :h, :w]
+
+
+def _make_dir_kernel(scan_axis: int, reverse: bool, span: int, chunk: int,
+                     band: int, p1: float, p2: float):
+    """One-direction SGM kernel over HBM-resident (H, W, 128k) volume.
+
+    ``scan_axis``: 1 = horizontal (band = rows), 0 = vertical (band = cols).
+    Streams ``chunk`` scan positions per DMA block, double-buffered.
+    """
+    nchunks = span // chunk
+
+    def kernel(vol_hbm, out_hbm, inbuf, outbuf, insem, outsem):
+        b = pl.program_id(0)
+        lanes = inbuf.shape[-1]
+
+        def chunk_start(k):
+            c = k if not reverse else nchunks - 1 - k
+            return c * chunk
+
+        def hbm_block(ref, k):
+            s = chunk_start(k)
+            if scan_axis == 1:
+                return ref.at[pl.ds(b * band, band), pl.ds(s, chunk), :]
+            return ref.at[pl.ds(s, chunk), pl.ds(b * band, band), :]
+
+        def start_in(k, slot):
+            pltpu.make_async_copy(hbm_block(vol_hbm, k), inbuf.at[slot],
+                                  insem.at[slot]).start()
+
+        def wait_in(k, slot):
+            pltpu.make_async_copy(hbm_block(vol_hbm, k), inbuf.at[slot],
+                                  insem.at[slot]).wait()
+
+        def start_out(k, slot):
+            pltpu.make_async_copy(outbuf.at[slot], hbm_block(out_hbm, k),
+                                  outsem.at[slot]).start()
+
+        def wait_out(k, slot):
+            pltpu.make_async_copy(outbuf.at[slot], hbm_block(out_hbm, k),
+                                  outsem.at[slot]).wait()
+
+        start_in(0, 0)
+        if nchunks > 1:
+            start_in(1, 1)
+
+        state0 = jnp.zeros((band, lanes), jnp.float32)
+
+        def chunk_body(k, state):
+            slot = k % 2
+            wait_in(k, slot)
+
+            # previous use of this out slot must have drained
+            @pl.when(k >= 2)
+            def _():
+                wait_out(k - 2, slot)
+
+            def pos_body(j, st):
+                # scan position inside the chunk, honouring direction
+                x = j if not reverse else chunk - 1 - j
+                if scan_axis == 1:
+                    c = inbuf[slot, :, x, :]
+                else:
+                    c = inbuf[slot, x, :, :]
+                st = _step(st, c, p1, p2)
+                if scan_axis == 1:
+                    outbuf[slot, :, x, :] = st
+                else:
+                    outbuf[slot, x, :, :] = st
+                return st
+
+            state = jax.lax.fori_loop(0, chunk, pos_body, state)
+            start_out(k, slot)
+
+            @pl.when(k + 2 < nchunks)
+            def _():
+                start_in(k + 2, slot)
+
+            return state
+
+        jax.lax.fori_loop(0, nchunks, chunk_body, state0)
+        wait_out(nchunks - 1, (nchunks - 1) % 2)
+        if nchunks > 1:
+            wait_out(nchunks - 2, (nchunks - 2) % 2)
+
+    return kernel
+
+
+def _dir_call(vol, scan_axis, reverse, band, chunk, p1, p2):
+    hp, wp, dp = vol.shape
+    span = wp if scan_axis == 1 else hp
+    nbands = (hp if scan_axis == 1 else wp) // band
+    if scan_axis == 1:
+        buf_shape = (2, band, chunk, dp)
+    else:
+        buf_shape = (2, chunk, band, dp)
+    kernel = _make_dir_kernel(scan_axis, reverse, span, chunk, band, p1, p2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((hp, wp, dp), jnp.float32),
+        grid=(nbands,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM(buf_shape, jnp.float32),
+            pltpu.VMEM(buf_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(vol)
+
+
+@partial(jax.jit, static_argnames=("p1", "p2", "band", "chunk"))
+def sgm_aggregate_pallas(
+    vol_hwd: jnp.ndarray,
+    p1: float,
+    p2: float,
+    band: int = 128,
+    chunk: int = 32,
+) -> jnp.ndarray:
+    """4-path SGM over an (H, W, D) volume; D padded to 128 lanes.
+
+    Returns the (H, W, D) mean of the four directional aggregations
+    (parity with :func:`matching.sgm_aggregate`).
+    """
+    h, w, d = vol_hwd.shape
+    dp = int(np.ceil(d / 128) * 128)
+    gran = max(band, chunk)
+    hp = int(np.ceil(h / gran) * gran)
+    wp = int(np.ceil(w / gran) * gran)
+    vol = jnp.pad(vol_hwd, ((0, 0), (0, 0), (0, dp - d)), constant_values=BIG)
+    vol = jnp.pad(vol, ((0, hp - h), (0, wp - w), (0, 0)))
+
+    # All four passes scan the MAJOR axis of their volume: the in-kernel
+    # dynamic index then selects a contiguous (band, 128) tile. The
+    # horizontal passes run on the (W, H, D) transpose (one XLA copy each
+    # way — far cheaper than strided mid-axis VMEM reads every step).
+    tb = _dir_call(vol, 0, False, band, chunk, p1, p2)
+    bt = _dir_call(vol, 0, True, band, chunk, p1, p2)
+    vol_t = jnp.swapaxes(vol, 0, 1)
+    lr = _dir_call(vol_t, 0, False, band, chunk, p1, p2)
+    rl = _dir_call(vol_t, 0, True, band, chunk, p1, p2)
+    out = (tb + bt + jnp.swapaxes(lr + rl, 0, 1)) * 0.25
+    return out[:h, :w, :d]

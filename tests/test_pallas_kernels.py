@@ -1,0 +1,62 @@
+"""Pallas SGM kernel parity vs the XLA scan formulation (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pcmi_tpu.config import StereoConfig
+from pcmi_tpu.ops.stereo.matching import sgm_aggregate
+from pcmi_tpu.ops.stereo.pallas_kernels import (
+    sgm_aggregate_pallas,
+    sgm_aggregate_pallas_sub,
+)
+
+
+def test_sgm_pallas_matches_xla_scan(rng):
+    d, h, w = 16, 24, 40
+    vol = rng.uniform(0, 1, (d, h, w)).astype(np.float32)
+    cfg = StereoConfig(max_disp=16, sgm_backend="xla")
+    ref = np.asarray(sgm_aggregate(jnp.asarray(vol), cfg))
+    got = np.asarray(
+        sgm_aggregate_pallas(jnp.moveaxis(jnp.asarray(vol), 0, -1),
+                             cfg.sgm_p1, cfg.sgm_p2)
+    )
+    got = np.moveaxis(got, -1, 0)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+
+def test_sgm_pallas_sub_matches_xla_scan(rng):
+    """The sublane-disparity kernel (the TPU default) must be bit-close."""
+    d, h, w = 16, 24, 40
+    vol = rng.uniform(0, 1, (d, h, w)).astype(np.float32)
+    cfg = StereoConfig(max_disp=16, sgm_backend="xla")
+    ref = np.asarray(sgm_aggregate(jnp.asarray(vol), cfg))
+    got = np.asarray(
+        sgm_aggregate_pallas_sub(jnp.asarray(vol), cfg.sgm_p1, cfg.sgm_p2,
+                                 band=8, chunk=8)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+
+def test_sgm_pallas_sub_nonaligned(rng):
+    d, h, w = 20, 19, 33
+    vol = rng.uniform(0, 1, (d, h, w)).astype(np.float32)
+    cfg = StereoConfig(max_disp=32, sgm_backend="xla")
+    ref = np.asarray(sgm_aggregate(jnp.asarray(vol), cfg))
+    got = np.asarray(
+        sgm_aggregate_pallas_sub(jnp.asarray(vol), cfg.sgm_p1, cfg.sgm_p2,
+                                 band=8, chunk=8)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+
+def test_sgm_pallas_nonaligned_shapes(rng):
+    # shapes not multiples of the block sizes exercise the padding path
+    d, h, w = 20, 19, 33
+    vol = rng.uniform(0, 1, (d, h, w)).astype(np.float32)
+    cfg = StereoConfig(max_disp=32, sgm_backend="xla")
+    ref = np.asarray(sgm_aggregate(jnp.asarray(vol), cfg))
+    got = np.moveaxis(np.asarray(
+        sgm_aggregate_pallas(jnp.moveaxis(jnp.asarray(vol), 0, -1),
+                             cfg.sgm_p1, cfg.sgm_p2)
+    ), -1, 0)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
