@@ -228,11 +228,19 @@ def data_parallel_step(step_fn: Callable, mesh, data_axis: str = "data"):
 
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(data_axis))
+    n = mesh.shape[data_axis]
 
-    def wrapped(state, *batches):
+    def wrapped(state, *args):
         state = jax.device_put(state, repl)
-        batches = tuple(jax.device_put(b, batch_sh) for b in batches)
-        return step_fn(state, *batches)
+
+        def place(x):
+            # shard image-batch-like args; replicate small stuff (PRNG keys,
+            # scalars, index vectors)
+            if hasattr(x, "ndim") and x.ndim >= 3 and x.shape[0] % n == 0:
+                return jax.device_put(x, batch_sh)
+            return jax.device_put(x, repl)
+
+        return step_fn(state, *(place(a) for a in args))
 
     return wrapped
 

@@ -9,6 +9,7 @@ from pcmi_tpu.pipelines.height_map import (
     required_max_disp,
 )
 from pcmi_tpu.pipelines.multiday import FusedCloud, MultiDayFusion
+from pcmi_tpu.pipelines.streaming import StreamingAOIPipeline
 from pcmi_tpu.pipelines.saliency import SaliencyDetector
 from pcmi_tpu.pipelines.restoration import RestorationEngine, RestorationPlugin
 from pcmi_tpu.pipelines.stitching import ImageStitcher, ImageStitchingPlugin
@@ -24,6 +25,7 @@ from pcmi_tpu.pipelines.generative import (
 )
 
 __all__ = [
+    "StreamingAOIPipeline",
     "SaliencyDetector",
     "RestorationEngine",
     "RestorationPlugin",

