@@ -87,12 +87,22 @@ def cmd_list(args) -> int:
 def cmd_run(args) -> int:
     from pcmi_tpu import registry
 
-    plugin = registry.create(args.plugin)
+    try:
+        plugin = registry.create(args.plugin)
+    except KeyError as exc:
+        print(exc.args[0], file=sys.stderr)
+        return 2
     image = _load_image(args.input)
     kwargs = {}
     if args.input2:
         kwargs["image2"] = _load_image(args.input2)
-    layers = plugin.run(image, **kwargs)
+    try:
+        layers = plugin.run(image, **kwargs)
+    except Exception as exc:  # degrade like the reference's error layer
+        # (ref viewer.py:384-387 returns an error-named placeholder layer)
+        layers = [(np.zeros((8, 8), np.float32),
+                   {"name": f"ERROR {plugin.name}: {exc}"}, "image")]
+        print(f"error: {exc}", file=sys.stderr)
     for path in _save_layers(layers, args.output):
         print(path)
     return 0

@@ -168,6 +168,143 @@ def parse_nitf_tres(path: str, scan_bytes: int = 1 << 20) -> Dict[str, object]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# NITF 2.1 image segment decode (uncompressed) + test-grade writer
+# ---------------------------------------------------------------------------
+
+def read_nitf_image(path: str) -> np.ndarray:
+    """Decode the first image segment of a NITF 2.1 file (IC=NC only).
+
+    Walks the fixed-layout file header (MIL-STD-2500C: FL at offset 342,
+    HL at 354, NUMI at 360 with LISH/LI pairs) to the first image
+    subheader, parses NROWS/NCOLS/PVTYPE/NBPP, and reads the raw band.
+    WV3 deliveries are usually JPEG2000 (IC=C8) — those need an external
+    decode step; the reference leaned on GDAL for it (``nitf_utils.py``),
+    and this framework flags it explicitly instead of shipping a codec.
+    """
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:9] != b"NITF02.10" and data[:4] != b"NITF":
+        raise ValueError(f"{path}: not a NITF file")
+    hl = int(data[354:360])
+    numi = int(data[360:363])
+    if numi < 1:
+        raise ValueError("no image segments")
+    lish = int(data[363:369])
+    li = int(data[369:379])
+    sub = data[hl:hl + lish]
+
+    pos = 2 + 10 + 14 + 17 + 80 + 1  # IM IID1 IDATIM TGTID IID2 ISCLAS
+    pos += 166                        # security group
+    pos += 1 + 42                     # ENCRYP ISORCE
+    nrows = int(sub[pos:pos + 8]); pos += 8
+    ncols = int(sub[pos:pos + 8]); pos += 8
+    pvtype = sub[pos:pos + 3].decode(); pos += 3
+    pos += 8 + 8                      # IREP ICAT
+    pos += 2 + 1                      # ABPP PJUST
+    icords = sub[pos:pos + 1].decode(); pos += 1
+    if icords.strip():
+        pos += 60                     # IGEOLO
+    nicom = int(sub[pos:pos + 1]); pos += 1 + 80 * nicom
+    ic = sub[pos:pos + 2].decode(); pos += 2
+    if ic not in ("NC", "NM"):
+        raise ValueError(f"{path}: compression {ic} unsupported "
+                         f"(uncompressed NITF only; use an external JP2 step)")
+    nbands = int(sub[pos:pos + 1]); pos += 1
+    # per band: IREPBANDn(2) ISUBCATn(6) IFCn(1) IMFLTn(3) NLUTSn(1)
+    pos += nbands * (2 + 6 + 1 + 3 + 1)
+    pos += 1 + 1                           # ISYNC IMODE
+    pos += 4 + 4 + 4 + 4                   # NBPR NBPC NPPBH NPPBV
+    nbpp = int(sub[pos:pos + 2]); pos += 2
+
+    dt = {("INT", 8): np.uint8, ("INT", 16): ">u2", ("INT", 32): ">u4",
+          ("SI", 16): ">i2", ("R", 32): ">f4"}.get((pvtype.strip(), nbpp))
+    if dt is None:
+        raise ValueError(f"unsupported PVTYPE/NBPP {pvtype}/{nbpp}")
+    arr = np.frombuffer(data, np.dtype(dt), count=nrows * ncols * nbands,
+                        offset=hl + lish)
+    arr = arr.astype(np.dtype(dt).newbyteorder("="))
+    if nbands > 1:
+        return arr.reshape(nrows, ncols, nbands)
+    return arr.reshape(nrows, ncols)
+
+
+def write_nitf(path: str, img: np.ndarray, tres: bytes = b"",
+               idatim: str = "20200101120000") -> None:
+    """Minimal NITF 2.1 writer (one uncompressed mono image segment).
+
+    Exists so tests and demos can exercise the full NTF ingest path
+    (header walk + TRE scan + image decode) without shipped samples.
+    ``tres`` are raw TRE bytes placed in the image extended data area.
+    """
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        pvtype, nbpp, raw = "INT", 8, img.tobytes()
+    elif img.dtype in (np.uint16, np.dtype(">u2")):
+        pvtype, nbpp = "INT", 16
+        raw = img.astype(">u2").tobytes()
+    elif img.dtype in (np.float32, np.dtype(">f4")):
+        pvtype, nbpp = "R", 32
+        raw = img.astype(">f4").tobytes()
+    else:
+        raise ValueError(f"unsupported dtype {img.dtype}")
+    nrows, ncols = img.shape[:2]
+
+    sec = b" " * 166
+    udidl = len(tres)
+    # image subheader, strictly by field widths (MIL-STD-2500C):
+    # IM(2) IID1(10) IDATIM(14) TGTID(17) IID2(80) ISCLAS(1) security(166)
+    # ENCRYP(1) ISORCE(42) NROWS(8) NCOLS(8) PVTYPE(3) IREP(8) ICAT(8)
+    # ABPP(2) PJUST(1) ICORDS(1) NICOM(1) IC(2) NBANDS(1)
+    # band1: IREPBAND(2) ISUBCAT(6) IFC(1) IMFLT(3) NLUTS(1)
+    # ISYNC(1) IMODE(1) NBPR(4) NBPC(4) NPPBH(4) NPPBV(4) NBPP(2)
+    # IDLVL(3) IALVL(3) ILOC(10) IMAG(4) UDIDL(5) [UDOFL(3) UDID] IXSHDL(5)
+    sub = b"".join([
+        b"IM", b"PCMI      ", idatim.encode().ljust(14), b" " * 17,
+        b" " * 80, b"U", sec, b"0", b" " * 42,
+        f"{nrows:08d}".encode(), f"{ncols:08d}".encode(),
+        pvtype.ljust(3).encode(), b"MONO    ", b"VIS     ",
+        f"{nbpp:02d}".encode(), b"R", b" ",
+        b"0", b"NC", b"1",
+        b"M ", b"      ", b"N", b"   ", b"0",
+        b"1", b"B",
+        b"0001", b"0001",
+        f"{min(ncols, 9999):04d}".encode(), f"{min(nrows, 9999):04d}".encode(),
+        f"{nbpp:02d}".encode(),
+        b"001", b"000", b"0000000000", b"1.0 ",
+    ])
+    if udidl:
+        sub += f"{udidl + 3:05d}".encode() + b"000" + tres
+    else:
+        sub += b"00000"
+    sub += b"00000"  # IXSHDL
+
+    lish = len(sub)
+    li = len(raw)
+
+    # Build the file header strictly by field widths:
+    # FHDR(9) CLEVEL(2) STYPE(4) OSTAID(10) FDT(14) FTITLE(80) FSCLAS(1)
+    # FS-security(166) FSCOP(5) FSCPYS(5) ENCRYP(1) FBKGC(3) ONAME(24)
+    # OPHONE(18) FL(12) HL(6) NUMI(3) LISH(6) LI(10) NUMS(3) NUMX(3)
+    # NUMT(3) NUMDES(3) NUMRES(3) UDHDL(5) XHDL(5)
+    parts = [
+        b"NITF02.10", b"03", b"BF01", b"PCMI      ",
+        idatim.encode().ljust(14), b" " * 80, b"U", sec,
+        b"00000", b"00000", b"0", b"\x00\x00\x00", b" " * 24, b" " * 18,
+    ]
+    tail = [
+        f"{lish:06d}".encode(), f"{li:010d}".encode(),
+        b"000", b"000", b"000", b"000", b"000", b"00000", b"00000",
+    ]
+    hl = sum(len(p) for p in parts) + 12 + 6 + 3 + sum(len(t) for t in tail)
+    fl = hl + lish + li
+    header = b"".join(parts) + f"{fl:012d}".encode() + f"{hl:06d}".encode() \
+        + b"001" + b"".join(tail)
+    assert len(header) == hl, (len(header), hl)
+    with open(path, "wb") as fh:
+        fh.write(header + sub + raw)
+
+
 @dataclass
 class NITFMetadata:
     """Parity with reference ``NITFMetadata`` (``nitf_utils.py:10-81``)."""

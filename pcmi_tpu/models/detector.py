@@ -1,0 +1,217 @@
+"""Trainable object detector: center-heatmap dense prediction (Flax).
+
+Capability parity with the reference's YOLO-OBB training path
+(``members/jasraj/object_annotation/obj_model.py:39-52`` trains
+``yolo26n-obb.pt`` for 100 epochs): the framework must be able to TRAIN a
+detector, not just run one. Anchor-free center-point detection
+(CenterNet-style) is the TPU-idiomatic choice — dense per-pixel heads, no
+anchor matching, no NMS-dependent training, decode = max-pool peak picking:
+
+* backbone: small norm-free U-Net trunk (shared with the SR family)
+* heads: center heatmap (sigmoid-focal loss), box size (L1 at centers),
+  center offset (L1 at centers)
+* decode: 3x3 max-pool peak detection + ``top_k`` — jit-friendly, feeds
+  the same :class:`pcmi_tpu.pipelines.detection.ObjectDetector` driver as
+  the training-free default (fixed (K, 6) output per tile).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from pcmi_tpu.models.unet import ConvBlock, _down, _up
+
+
+class CenterNetHead(nn.Module):
+    """(B, H, W, C_in) -> heatmap (B, H/4, W/4, n_classes), size (.., 2),
+    offset (.., 2). Output stride 4."""
+
+    widths: Sequence[int] = (32, 64, 128)
+    n_classes: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        h = ConvBlock(self.widths[0], norm=False)(x)
+        h = _down(h)                                  # /2
+        h = ConvBlock(self.widths[1], norm=False)(h)
+        h = _down(h)                                  # /4
+        h = ConvBlock(self.widths[2], norm=False)(h)
+        h = ConvBlock(self.widths[2], norm=False)(h)
+        heat = nn.Conv(self.n_classes, (1, 1),
+                       bias_init=nn.initializers.constant(-2.19))(h)
+        size = nn.Conv(2, (1, 1))(h)
+        offset = nn.Conv(2, (1, 1))(h)
+        return heat, size, offset
+
+
+def gaussian_heatmap(centers: jnp.ndarray, valid: jnp.ndarray,
+                     shape: Tuple[int, int], sigma: jnp.ndarray) -> jnp.ndarray:
+    """Render ground-truth center gaussians: (N, 2) centers -> (H, W)."""
+    hh, ww = shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (hh, ww), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (hh, ww), 1)
+
+    def one(c, v, s):
+        d2 = (ys - c[0]) ** 2 + (xs - c[1]) ** 2
+        g = jnp.exp(-d2 / (2 * s**2))
+        # pin an exact 1.0 at the rounded center cell: with fractional
+        # centers the sampled gaussian peaks below the focal loss's
+        # positive threshold and training collapses to all-background
+        peak = (ys == jnp.round(c[0])) & (xs == jnp.round(c[1]))
+        return jnp.where(v, jnp.maximum(g, peak.astype(jnp.float32)), 0.0)
+
+    maps = jax.vmap(one)(centers, valid, sigma)
+    return jnp.max(maps, axis=0)
+
+
+def focal_loss(pred_logits, gt_heat, alpha=2.0, beta=4.0):
+    """CenterNet penalty-reduced focal loss."""
+    p = jax.nn.sigmoid(pred_logits)
+    pos = gt_heat >= 0.999
+    pos_loss = -((1 - p) ** alpha) * jnp.log(jnp.maximum(p, 1e-6)) * pos
+    neg_loss = (
+        -((1 - gt_heat) ** beta) * (p**alpha)
+        * jnp.log(jnp.maximum(1 - p, 1e-6)) * (~pos)
+    )
+    n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+    return (jnp.sum(pos_loss) + jnp.sum(neg_loss)) / n_pos
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorTrainConfig:
+    lr: float = 1e-3
+    stride: int = 4
+    w_size: float = 0.1
+    w_offset: float = 1.0
+    max_objects: int = 32
+
+
+class DetectorTrainer:
+    """Jitted train step over (images, boxes, box_valid) batches.
+
+    ``boxes`` are (B, K, 4) ``(y0, x0, y1, x1)`` padded with zeros;
+    ``box_valid`` is (B, K) bool.
+    """
+
+    def __init__(self, cfg: DetectorTrainConfig = DetectorTrainConfig(),
+                 model: nn.Module | None = None):
+        self.cfg = cfg
+        self.model = model or CenterNetHead()
+        self.tx = optax.adam(cfg.lr)
+
+    def init(self, key, sample_images):
+        params = self.model.init(key, sample_images)
+        return params, self.tx.init(params)
+
+    def _targets(self, boxes, valid, out_shape):
+        s = self.cfg.stride
+        cy = (boxes[:, :, 0] + boxes[:, :, 2]) / 2 / s
+        cx = (boxes[:, :, 1] + boxes[:, :, 3]) / 2 / s
+        hgt = (boxes[:, :, 2] - boxes[:, :, 0]) / s
+        wid = (boxes[:, :, 3] - boxes[:, :, 1]) / s
+        sigma = jnp.maximum(jnp.sqrt(jnp.maximum(hgt * wid, 1.0)) / 3.0, 1.0)
+        centers = jnp.stack([cy, cx], axis=-1)
+        heat = jax.vmap(lambda c, v, sg: gaussian_heatmap(c, v, out_shape, sg))(
+            centers, valid, sigma)
+        return heat[..., None], centers, jnp.stack([hgt, wid], -1)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step(self, params, opt, images, boxes, box_valid):
+        cfg = self.cfg
+
+        def loss_fn(p):
+            heat_l, size_p, off_p = self.model.apply(p, images)
+            hh, ww = heat_l.shape[1:3]
+            gt_heat, centers, sizes = self._targets(boxes, box_valid, (hh, ww))
+            l_heat = focal_loss(heat_l[..., 0], gt_heat[..., 0])
+
+            # gather predictions at gt centers (small K -> fine)
+            ci = jnp.clip(centers.astype(jnp.int32), 0,
+                          jnp.array([hh - 1, ww - 1]))
+            bidx = jnp.arange(images.shape[0])[:, None]
+            sp = size_p[bidx, ci[..., 0], ci[..., 1]]
+            op = off_p[bidx, ci[..., 0], ci[..., 1]]
+            v = box_valid.astype(jnp.float32)[..., None]
+            n = jnp.maximum(jnp.sum(v), 1.0)
+            l_size = jnp.sum(jnp.abs(sp - sizes) * v) / n
+            frac = centers - jnp.floor(centers)
+            l_off = jnp.sum(jnp.abs(op - frac) * v) / n
+            total = l_heat + cfg.w_size * l_size + cfg.w_offset * l_off
+            return total, {"heat": l_heat, "size": l_size, "off": l_off}
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt = self.tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt, {"loss": loss, **parts}
+
+    def make_tile_detector(self, params, max_boxes: int = 16,
+                           score_thresh: float = 0.25):
+        """Adapter: (N, T, T) batch -> (N, max_boxes, 6) for ObjectDetector."""
+        s = self.cfg.stride
+        model = self.model
+
+        @jax.jit
+        def detect(batch):
+            x = batch[..., None] if batch.ndim == 3 else batch
+            heat_l, size_p, off_p = model.apply(params, x)
+            heat = jax.nn.sigmoid(heat_l)[..., 0]
+            peaks = jax.lax.reduce_window(
+                heat, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
+            is_peak = (heat == peaks) & (heat > score_thresh)
+            score = jnp.where(is_peak, heat, 0.0)
+            n, hh, ww = score.shape
+            flat = score.reshape(n, -1)
+            top, idx = jax.lax.top_k(flat, max_boxes)
+            py = (idx // ww).astype(jnp.float32)
+            px = (idx % ww).astype(jnp.float32)
+            bidx = jnp.arange(n)[:, None]
+            sz = size_p[bidx, idx // ww, idx % ww]
+            of = off_p[bidx, idx // ww, idx % ww]
+            cy = (py + of[..., 0]) * s
+            cx = (px + of[..., 1]) * s
+            bh = jnp.maximum(sz[..., 0], 0.0) * s
+            bw = jnp.maximum(sz[..., 1], 0.0) * s
+            return jnp.stack([
+                cy - bh / 2, cx - bw / 2, cy + bh / 2, cx + bw / 2,
+                top, jnp.zeros_like(top),
+            ], axis=-1)
+
+        return detect
+
+
+def synthesize_detection_batch(key, batch: int = 8, size: int = 128,
+                               max_objects: int = 6):
+    """Random bright-blob scenes + ground-truth boxes (training data the
+    reference gets from Roboflow; here synthetic, egress-free)."""
+    kb, kn, kc, ks = jax.random.split(key, 4)
+    base = 0.1 * jax.random.uniform(kn, (batch, size, size, 1))
+    n_obj = jax.random.randint(kb, (batch,), 1, max_objects + 1)
+    cy = jax.random.uniform(kc, (batch, max_objects), minval=0.15, maxval=0.85) * size
+    cx = jax.random.uniform(jax.random.fold_in(kc, 1), (batch, max_objects),
+                            minval=0.15, maxval=0.85) * size
+    hw = jax.random.uniform(ks, (batch, max_objects, 2), minval=8.0, maxval=24.0)
+    valid = jnp.arange(max_objects)[None, :] < n_obj[:, None]
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (size, size), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (size, size), 1)
+
+    def render(img, cys, cxs, hws, vs):
+        def one(c_y, c_x, h_w, v):
+            inside = (jnp.abs(ys - c_y) < h_w[0] / 2) & (jnp.abs(xs - c_x) < h_w[1] / 2)
+            return jnp.where(v & inside, 0.9, 0.0)
+        blobs = jax.vmap(one)(cys, cxs, hws, vs)
+        return jnp.clip(img[..., 0] + jnp.sum(blobs, 0), 0, 1)[..., None]
+
+    images = jax.vmap(render)(base, cy, cx, hw, valid)
+    boxes = jnp.stack([
+        cy - hw[..., 0] / 2, cx - hw[..., 1] / 2,
+        cy + hw[..., 0] / 2, cx + hw[..., 1] / 2,
+    ], axis=-1)
+    return images, boxes, valid

@@ -245,6 +245,18 @@ def data_parallel_step(step_fn: Callable, mesh, data_axis: str = "data"):
     return wrapped
 
 
+def make_sr_pairs(images: jnp.ndarray, factor: int = 4) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(LR, HR) training pairs by box-downsampling HR crops — the in-memory
+    equivalent of the reference's ``SRSatelliteCached`` bicubic LR/HR dataset
+    (notebook cell 33)."""
+    b, h, w, c = images.shape
+    hh = (h // factor) * factor
+    ww = (w // factor) * factor
+    hr = images[:, :hh, :ww, :]
+    lr = hr.reshape(b, hh // factor, factor, ww // factor, factor, c).mean((2, 4))
+    return lr, hr
+
+
 def save_checkpoint(path: str, state, step: int | None = None) -> None:
     """Orbax checkpoint save (ref resumes .pt checkpoints, notebook cell 26)."""
     import orbax.checkpoint as ocp
