@@ -8,8 +8,20 @@ from pcmi_tpu.utils.profiling import (
     setup_logging,
     stats,
 )
+from pcmi_tpu.utils.visualize import (
+    normalise_for_display,
+    render,
+    save_disparity,
+    save_image,
+    turbo_colormap,
+)
 
 __all__ = [
+    "normalise_for_display",
+    "render",
+    "save_disparity",
+    "save_image",
+    "turbo_colormap",
     "device_trace",
     "dump_stats",
     "reset_stats",
