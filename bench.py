@@ -88,12 +88,14 @@ def main():
     l_np = np.asarray(r1)[:ch, :cw]
     r_np = np.asarray(r2)[:ch, :cw]
     v_np = np.ones((ch, cw), bool)
-    t0 = time.perf_counter()
-    nref.stereo_pipeline_np(
-        l_np, r_np, v_np, v_np,
-        stereo_cfg.max_disp, stereo_cfg.block_size, stereo_cfg.lr_threshold,
-    )
-    dt_cpu = time.perf_counter() - t0
+    dt_cpu = float("inf")
+    for _ in range(3):  # best-of-3: host load noise must not skew the ratio
+        t0 = time.perf_counter()
+        nref.stereo_pipeline_np(
+            l_np, r_np, v_np, v_np,
+            stereo_cfg.max_disp, stereo_cfg.block_size, stereo_cfg.lr_threshold,
+        )
+        dt_cpu = min(dt_cpu, time.perf_counter() - t0)
     mpix_cpu = ch * cw / dt_cpu / 1e6
 
     result = {

@@ -239,6 +239,28 @@ def lr_consistency(
     return inb & (jnp.abs(disp_l - dr) <= thresh)
 
 
+def derive_right_volume(vol: jnp.ndarray, d_min: int) -> jnp.ndarray:
+    """Right-view cost volume from the left one: C_R(y, x, d) = C_L(y, x+d, d).
+
+    Exact for any cost aggregated by a spatially-invariant filter (the box
+    aggregation commutes with the per-disparity shift), so the second
+    matching direction costs one volume pass instead of a full rebuild of
+    census + cost + aggregation. Out-of-range samples take the invalid-cost
+    ceiling (1.0). SGM does NOT commute with the shift and still runs per
+    view."""
+    D, h, w = vol.shape
+    pad = max(abs(d_min), abs(d_min + D - 1)) + 1
+    volp = jnp.pad(vol, ((0, 0), (0, 0), (pad, pad)), constant_values=1.0)
+    ds = jnp.arange(D, dtype=jnp.int32) + d_min
+
+    def step(_, args):
+        plane, d = args
+        return None, jax.lax.dynamic_slice_in_dim(plane, pad + d, w, axis=1)
+
+    _, out = jax.lax.scan(step, None, (volp, ds), unroll=_scan_unroll())
+    return out
+
+
 @partial(jax.jit, static_argnames=("cfg", "aggregation"))
 def compute_disparity(
     left: jnp.ndarray,
@@ -251,23 +273,22 @@ def compute_disparity(
     """Full two-direction dense matcher.
 
     ``aggregation`` is ``"box"`` (pure local, parity with numpy_ref) or
-    ``"sgm"`` (adds 4-path semi-global smoothing before WTA).
+    ``"sgm"`` (adds 4-path semi-global smoothing before WTA). The right
+    direction reuses the left boxed volume via :func:`derive_right_volume`
+    (right-frame convention x1 = x2 + d, matching the L/R check).
     """
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
 
-    def one_direction(L, R, vl, vr):
-        vol = build_cost_volume(L, R, vl, vr, cfg)
-        if aggregation == "sgm":
-            vol = sgm_aggregate(vol, cfg)
-        return wta_disparity(vol, cfg.min_disparity)
-
-    disp_l, cost_l = one_direction(left, right, valid_l, valid_r)
-    # mirror trick: flip x and swap roles to reuse the same matcher
-    disp_rf, _ = one_direction(
-        right[:, ::-1], left[:, ::-1], valid_r[:, ::-1], valid_l[:, ::-1]
-    )
-    disp_r = disp_rf[:, ::-1]
+    vol_l = build_cost_volume(left, right, valid_l, valid_r, cfg)
+    vol_r = derive_right_volume(vol_l, cfg.min_disparity)
+    if aggregation == "sgm":
+        agg_l = sgm_aggregate(vol_l, cfg)
+        agg_r = sgm_aggregate(vol_r, cfg)
+    else:
+        agg_l, agg_r = vol_l, vol_r
+    disp_l, cost_l = wta_disparity(agg_l, cfg.min_disparity)
+    disp_r, _ = wta_disparity(agg_r, cfg.min_disparity)
 
     ok = lr_consistency(disp_l, disp_r, cfg.lr_threshold,
                         d_min=cfg.min_disparity,
