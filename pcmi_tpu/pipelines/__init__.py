@@ -10,6 +10,7 @@ from pcmi_tpu.pipelines.height_map import (
 )
 from pcmi_tpu.pipelines.multiday import FusedCloud, MultiDayFusion
 from pcmi_tpu.pipelines.streaming import StreamingAOIPipeline
+from pcmi_tpu.pipelines.sweep import AOISpec, MultiAOISweep
 from pcmi_tpu.pipelines.saliency import SaliencyDetector
 from pcmi_tpu.pipelines.restoration import RestorationEngine, RestorationPlugin
 from pcmi_tpu.pipelines.stitching import ImageStitcher, ImageStitchingPlugin
@@ -26,6 +27,8 @@ from pcmi_tpu.pipelines.generative import (
 
 __all__ = [
     "StreamingAOIPipeline",
+    "AOISpec",
+    "MultiAOISweep",
     "SaliencyDetector",
     "RestorationEngine",
     "RestorationPlugin",

@@ -218,7 +218,12 @@ class HeightMapPipeline:
         img2: jnp.ndarray,
         geom: RectifiedGeometry,
         stereo_cfg: Optional[StereoConfig] = None,
+        cache=None,
     ) -> PairProduct:
+        """``cache`` (a :class:`pcmi_tpu.utils.cache.StageCache`) resumes a
+        crashed/repeated run: identical inputs + config hit the stored pair
+        product instead of recomputing (the working version of the
+        reference's never-read CACHE_DISPARITY flag, ``constants.py:41``)."""
         cfg = stereo_cfg or self.stereo_cfg_for([geom])
         r1, r2 = _rectify_pair(
             jnp.asarray(img1), jnp.asarray(img2),
@@ -226,8 +231,22 @@ class HeightMapPipeline:
             geom.out_shape,
         )
         M, b = triangulation_operator(geom)
-        return pair_core(r1, r2, M, b, cfg,
-                         ground_percentile=self.cfg.ground_percentile)
+
+        def compute():
+            out = pair_core(r1, r2, M, b, cfg,
+                            ground_percentile=self.cfg.ground_percentile)
+            return {k: np.asarray(v) for k, v in out._asdict().items()}
+
+        if cache is None:
+            return pair_core(r1, r2, M, b, cfg,
+                             ground_percentile=self.cfg.ground_percentile)
+        got = cache.get_or_compute(
+            "pair_core", (repr(cfg), self.cfg.ground_percentile,
+                          np.asarray(r1), np.asarray(r2),
+                          np.asarray(M), np.asarray(b)),
+            compute,
+        )
+        return PairProduct(**{k: jnp.asarray(v) for k, v in got.items()})
 
 
 def product_point_cloud(

@@ -44,7 +44,7 @@ class StreamingDSM(NamedTuple):
     vsq: jnp.ndarray      # (ny, nx) weighted squared sums
 
 
-@partial(jax.jit, static_argnames=("shape",))
+@partial(jax.jit, static_argnames=("shape", "robust_sigma"))
 def dsm_update(
     acc: StreamingDSM,
     xy: jnp.ndarray,
@@ -53,8 +53,16 @@ def dsm_update(
     origin: Tuple[float, float],
     cell: float,
     shape: Tuple[int, int],
+    robust_sigma: float = 0.0,
 ) -> StreamingDSM:
-    """Scatter one tile's points into the running DSM sums (segment ops)."""
+    """Scatter one tile's points into the running DSM sums (segment ops).
+
+    ``robust_sigma > 0`` adds a tile-local gate: per cell, this tile's
+    samples beyond ``robust_sigma`` tile-stddevs from the tile-cell mean
+    are dropped before accumulation — the streaming (one-pass) analogue of
+    :func:`pcmi_tpu.ops.pointcloud.grid_fuse`'s rejection pass; it kills
+    the single-pair blunder tail without a global second pass.
+    """
     ny, nx = shape
     gx = jnp.floor((xy[..., 0] - origin[0]) / cell).astype(jnp.int32)
     gy = jnp.floor((xy[..., 1] - origin[1]) / cell).astype(jnp.int32)
@@ -63,6 +71,16 @@ def dsm_update(
     ids = jnp.where(inb, gy * nx + gx, 0).reshape(-1)
     v = values.reshape(-1).astype(jnp.float32)
     num = ny * nx
+
+    if robust_sigma > 0:
+        ws = jax.ops.segment_sum(w, ids, num)
+        vs = jax.ops.segment_sum(w * v, ids, num)
+        vq = jax.ops.segment_sum(w * v * v, ids, num)
+        mean = vs / jnp.maximum(ws, 1e-12)
+        std = jnp.sqrt(jnp.maximum(vq / jnp.maximum(ws, 1e-12) - mean**2, 0.0))
+        keep = jnp.abs(v - mean[ids]) <= robust_sigma * std[ids] + 1e-6
+        w = w * keep
+
     return StreamingDSM(
         wsum=acc.wsum + jax.ops.segment_sum(w, ids, num).reshape(ny, nx),
         vsum=acc.vsum + jax.ops.segment_sum(w * v, ids, num).reshape(ny, nx),
@@ -76,6 +94,31 @@ def dsm_finalize(acc: StreamingDSM) -> Tuple[np.ndarray, np.ndarray]:
     mean = np.asarray(acc.vsum) / np.maximum(wsum, 1e-12)
     mean[wsum <= 0] = np.nan
     return mean, wsum
+
+
+def dsm_finalize_multi(accs: Sequence[StreamingDSM]):
+    """Cross-pair median finalisation.
+
+    Per-pair cell means are stacked and the per-cell median across pairs is
+    the fused height — single-pair blunders (occlusion fattening that
+    survived the per-pair gates) are outvoted by the other acquisition
+    geometries; this is where multi-day redundancy actually pays. Returns
+    ``(dsm, count, n_pairs)``: cells seen by a single pair carry
+    ``n_pairs == 1`` as a confidence flag rather than being dropped.
+    """
+    means, counts = [], []
+    for acc in accs:
+        m, c = dsm_finalize(acc)
+        means.append(m)
+        counts.append(c)
+    stack = np.stack(means)                       # (P, ny, nx)
+    n_pairs = np.isfinite(stack).sum(axis=0)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN cells
+        dsm = np.nanmedian(stack, axis=0)
+    return dsm, np.sum(counts, axis=0), n_pairs
 
 
 class StreamingAOIPipeline:
@@ -136,14 +179,14 @@ class StreamingAOIPipeline:
             grid_origin = (x0, y0)
             grid_shape = (ny, nx)
 
-        acc = StreamingDSM(
-            wsum=jnp.zeros(grid_shape), vsum=jnp.zeros(grid_shape),
-            vsq=jnp.zeros(grid_shape),
-        )
-
+        accs: List[StreamingDSM] = []  # one accumulator per pair
         band = self.band_rows
         n_tiles = 0
         for p, geom in zip(pairs, geoms):
+            acc = StreamingDSM(
+                wsum=jnp.zeros(grid_shape), vsum=jnp.zeros(grid_shape),
+                vsq=jnp.zeros(grid_shape),
+            )
             H, W = geom.out_shape
             r1, r2 = _rectify_pair(
                 jnp.asarray(images[p.i]), jnp.asarray(images[p.j]),
@@ -173,12 +216,15 @@ class StreamingAOIPipeline:
                     acc, xyz[..., :2], xyz[..., 2],
                     valid.astype(jnp.float32),
                     grid_origin, grid_cell, grid_shape,
+                    robust_sigma=self.cfg.fusion.knn_sigma,
                 )
                 n_tiles += 1
+            accs.append(acc)
 
-        dsm, count = dsm_finalize(acc)
+        dsm, count, n_pairs_per_cell = dsm_finalize_multi(accs)
         return {
-            "dsm": dsm, "count": count, "origin": grid_origin,
+            "dsm": dsm, "count": count, "n_pairs_per_cell": n_pairs_per_cell,
+            "origin": grid_origin,
             "cell": grid_cell, "pairs": len(pairs), "tiles": n_tiles,
             "stereo_cfg": dataclasses.asdict(cfg_s),
         }
