@@ -98,6 +98,20 @@ def main():
         dt_cpu = min(dt_cpu, time.perf_counter() - t0)
     mpix_cpu = ch * cw / dt_cpu / 1e6
 
+    # accuracy vs exact synthetic truth (the BASELINE ≤1 m RMSE gate)
+    product = pair_core(r1, r2, M, b, stereo_cfg)
+    valid = np.asarray(product.valid)
+    ox, oy = scene.ground_origin
+    terr = np.asarray(scene.terrain)
+    gx = (np.asarray(product.xyz[..., 0]) - ox) / scene.ground_gsd
+    gy = (np.asarray(product.xyz[..., 1]) - oy) / scene.ground_gsd
+    inb = (gx >= 0) & (gx < terr.shape[1] - 1) & (gy >= 0) & (gy < terr.shape[0] - 1)
+    tt = terr[np.clip(gy.astype(int), 0, terr.shape[0] - 1),
+              np.clip(gx.astype(int), 0, terr.shape[1] - 1)]
+    m = valid & inb
+    err = np.asarray(product.height)[m] - tt[m]
+    rmse = float(np.sqrt(np.mean(err**2))) if m.any() else float("nan")
+
     result = {
         "metric": "stereo_to_height_throughput",
         "value": round(mpix_tpu, 3),
@@ -107,6 +121,8 @@ def main():
             "canvas": [h, w],
             "max_disp": stereo_cfg.max_disp,
             "cpu_ref_mpix_s": round(mpix_cpu, 4),
+            "height_rmse_m": round(rmse, 3),
+            "valid_fraction": round(float(valid.mean()), 4),
             "device": str(jax.devices()[0]),
         },
     }

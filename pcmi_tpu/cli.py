@@ -148,15 +148,30 @@ def cmd_fuse(args) -> int:
     from pcmi_tpu.pipelines.multiday import MultiDayFusion
 
     cfg = from_flat_overrides(PipelineConfig(), _parse_overrides(args.set))
-    if not args.demo:
-        print("only --demo sources are wired in this build", file=sys.stderr)
+    if getattr(args, "images", None):
+        from pcmi_tpu.pipelines.ingest import (
+            discover_acquisitions,
+            prepare_aoi_stack,
+        )
+
+        acqs = discover_acquisitions(args.images)
+        if not acqs:
+            print(f"no usable acquisitions in {args.images}", file=sys.stderr)
+            return 2
+        images, rpcs, metas, lon_r, lat_r = prepare_aoi_stack(
+            acqs, kml_path=args.kml)
+        scene = None
+    elif args.demo:
+        scene, (lon_r, lat_r) = _demo_scene(cfg)
+        views = [(10.0, 80.0), (20.0, 250.0), (16.0, 170.0)]
+        metas = [ImageMeta(i, inc, az, date=30.0 * i)
+                 for i, (inc, az) in enumerate(views)]
+        images, rpcs = scene.images, scene.rpcs
+    else:
+        print("need --demo or --images DIR --kml FILE", file=sys.stderr)
         return 2
-    scene, (lon_r, lat_r) = _demo_scene(cfg)
-    views = [(10.0, 80.0), (20.0, 250.0), (16.0, 170.0)]
-    metas = [ImageMeta(i, inc, az, date=30.0 * i)
-             for i, (inc, az) in enumerate(views)]
     fusion = MultiDayFusion(cfg)
-    fused = fusion.run(scene.images, scene.rpcs, metas, lon_r, lat_r,
+    fused = fusion.run(images, rpcs, metas, lon_r, lat_r,
                        points_per_pair=1 << 16, with_kmeans=True,
                        grid_cell=2.0)
     os.makedirs(args.output, exist_ok=True)
@@ -195,6 +210,8 @@ def main(argv=None) -> int:
         p = sub.add_parser(name)
         p.add_argument("--demo", action="store_true",
                        help="use the synthetic ground-truth scene")
+        p.add_argument("--images", help="directory of NTF/TIFF acquisitions")
+        p.add_argument("--kml", help="AOI polygon (with --images)")
         p.add_argument("--output", default="out")
         p.add_argument("--set", action="append",
                        help="config override, e.g. stereo.max_disp=128")

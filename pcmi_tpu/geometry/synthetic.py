@@ -221,11 +221,14 @@ def make_stereo_scene(
     views=((12.0, 90.0), (22.0, 260.0)),
     out_shape=(640, 640),
     radiometric_jitter: float = 0.15,
+    origin_lonlat=(TARGET_LON, TARGET_LAT),
 ) -> SyntheticScene:
     """Full multi-view scene. ``views`` are (incidence°, azimuth°) per date.
 
     Per-view radiometric gain/offset jitter emulates the cross-date
     brightness drift the reference normalises away (``disparity.py:66-70``).
+    ``origin_lonlat`` anchors the local frame — RPC00B serialisation tests
+    use 4-decimal-representable anchors (the TRE's ASCII field precision).
     """
     key = jax.random.PRNGKey(seed)
     kt, kx, kr = jax.random.split(key, 3)
@@ -234,7 +237,8 @@ def make_stereo_scene(
 
     hg, wg = ground_shape
     origin = (-0.5 * wg * gsd, -0.5 * hg * gsd)
-    frame = LocalFrame(lon0=jnp.float32(TARGET_LON), lat0=jnp.float32(TARGET_LAT))
+    frame = LocalFrame(lon0=jnp.float32(origin_lonlat[0]),
+                       lat0=jnp.float32(origin_lonlat[1]))
 
     images, heights, cams, rpcs = [], [], [], []
     for i, (inc, az) in enumerate(views):

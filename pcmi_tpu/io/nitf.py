@@ -229,6 +229,44 @@ def read_nitf_image(path: str) -> np.ndarray:
     return arr.reshape(nrows, ncols)
 
 
+def rpc00b_tre(rpc, err_bias: float = 0.0) -> bytes:
+    """Serialise an :class:`RPCCamera` as an RPC00B TRE (tag+length+body) —
+    the inverse of :func:`_parse_rpc00b`, used by the NITF writer so disk
+    roundtrips carry full camera geometry."""
+    def f12(v):
+        s = f"{v:+.6E}"            # +d.ddddddE+dd
+        mant, ex = s.split("E")
+        return f"{mant}E{int(ex):+d}".ljust(12)[:12]
+
+    body = "1" + f"{err_bias:07.2f}" + f"{0.0:07.2f}"
+    body += f"{int(round(float(rpc.line_off))):06d}"
+    body += f"{int(round(float(rpc.samp_off))):05d}"
+    body += f"{float(rpc.lat_off):+08.4f}"
+    body += f"{float(rpc.long_off):+09.4f}"
+    body += f"{int(round(float(rpc.height_off))):+05d}"
+    body += f"{int(round(float(rpc.line_scale))):06d}"
+    body += f"{int(round(float(rpc.samp_scale))):05d}"
+    body += f"{float(rpc.lat_scale):+08.4f}"
+    body += f"{float(rpc.long_scale):+09.4f}"
+    body += f"{int(round(float(rpc.height_scale))):+05d}"
+    for coeffs in [rpc.line_num, rpc.line_den, rpc.samp_num, rpc.samp_den]:
+        for v in np.asarray(coeffs, np.float64):
+            body += f12(v)
+    payload = body.encode("ascii")
+    return b"RPC00B" + f"{len(payload):05d}".encode() + payload
+
+
+def use00a_tre(incidence_deg: float) -> bytes:
+    body = (" " * 25 + f"{incidence_deg:05.2f}").ljust(107).encode("ascii")
+    return b"USE00A" + f"{len(body):05d}".encode() + body
+
+
+def csexra_tre(incidence_deg: float, azimuth_deg: float) -> bytes:
+    body = (" " * 81 + f"{incidence_deg:06.2f}" + f"{azimuth_deg:07.2f}"
+            ).ljust(132).encode("ascii")
+    return b"CSEXRA" + f"{len(body):05d}".encode() + body
+
+
 def write_nitf(path: str, img: np.ndarray, tres: bytes = b"",
                idatim: str = "20200101120000") -> None:
     """Minimal NITF 2.1 writer (one uncompressed mono image segment).

@@ -288,16 +288,49 @@ class HeightMapExtractor(SatellitePlugin):
         of ``data/rafael/WV3/PAN/*.ntf``, ``pair_selector.py:47-69``)."""
         self._sources = (list(images), list(rpcs), lon_range, lat_range)
 
-    def run(self, image=None, viewer=None, pair=(0, 1)) -> List[Layer]:
+    def run(self, image=None, viewer=None, pair=None, metas=None,
+            mode: str = "first", n: int = 1, seed: int = 0) -> List[Layer]:
+        """Run one or more pairs and emit their layers.
+
+        Modes mirror the reference widget's options (``plugin.py:63-70``):
+        ``"first"`` takes the best-``n`` selected pairs, ``"random"`` one
+        random valid pair, ``"pair"`` an explicit ``pair=(i, j)``. When
+        ``metas`` (list of :class:`ImageMeta`) is given, pairs come from the
+        convergence-angle selector; otherwise consecutive indices are used.
+        """
         if self._sources is None:
             raise RuntimeError("call set_sources(...) before run()")
         images, rpcs, lon_range, lat_range = self._sources
-        i, j = pair
-        geom = self.pipeline.build_geometry(
-            rpcs[i], rpcs[j], lon_range, lat_range,
-            images[i].shape, images[j].shape,
-        )
-        product = self.pipeline.process_pair(images[i], images[j], geom)
+
+        if pair is not None:
+            chosen = [tuple(pair)]
+        elif metas is not None:
+            from pcmi_tpu.geometry.pairs import select_pairs, take_pairs
+
+            cands = take_pairs(select_pairs(metas, self.pipeline.cfg.pairs),
+                               max(n, 1))
+            if mode == "random" and cands:
+                import random
+
+                cands = [random.Random(seed).choice(cands)]
+            chosen = [(p.i, p.j) for p in cands]
+        else:
+            chosen = [(k, k + 1) for k in range(min(n, len(images) - 1))]
+        if not chosen:
+            raise ValueError("no stereo pairs to process")
+
+        layers: List[Layer] = []
+        for i, j in chosen:
+            geom = self.pipeline.build_geometry(
+                rpcs[i], rpcs[j], lon_range, lat_range,
+                images[i].shape, images[j].shape,
+            )
+            product = self.pipeline.process_pair(images[i], images[j], geom)
+            layers.extend(self._product_layers(product, tag=f"{i}-{j}"))
+        return layers
+
+    def _product_layers(self, product: PairProduct, tag: str = "") -> List[Layer]:
+        suffix = f" [{tag}]" if tag else ""
 
         disparity = np.asarray(product.disparity)
         valid = np.asarray(product.valid)
@@ -306,10 +339,11 @@ class HeightMapExtractor(SatellitePlugin):
 
         layers: List[Layer] = [
             (np.where(valid, disparity, np.nan),
-             {"name": "disparity", "colormap": "turbo"}, "image"),
-            (photo, {"name": "photoconsistency", "colormap": "gray"}, "image"),
+             {"name": f"disparity{suffix}", "colormap": "turbo"}, "image"),
+            (photo, {"name": f"photoconsistency{suffix}", "colormap": "gray"},
+             "image"),
             ((~valid).astype(np.uint8),
-             {"name": "invalid mask", "opacity": 0.4}, "image"),
+             {"name": f"invalid mask{suffix}", "opacity": 0.4}, "image"),
         ]
         ys, xs = np.nonzero(valid)
         if len(ys):
@@ -318,7 +352,7 @@ class HeightMapExtractor(SatellitePlugin):
             pts = np.stack([rel[ys, xs], ys, xs], axis=1)
             layers.append(
                 (pts, {
-                    "name": "point cloud",
+                    "name": f"point cloud{suffix}",
                     "features": {"height": rel[ys, xs]},
                     "size": 1,
                 }, "points")

@@ -121,9 +121,26 @@ def test_plugin_layer_contract(scene, cfg):
     assert kinds[:3] == ["image", "image", "image"]
     assert kinds[-1] == "points"
     names = [p.get("name") for _, p, _ in layers]
-    assert "disparity" in names and "photoconsistency" in names
+    assert any(n.startswith("disparity") for n in names)
+    assert any(n.startswith("photoconsistency") for n in names)
     pts = layers[-1][0]
     assert pts.ndim == 2 and pts.shape[1] == 3 and len(pts) > 1000
+
+
+def test_plugin_selection_modes(scene, cfg):
+    """Reference widget modes (plugin.py:63-70): first-N via metas, random."""
+    plugin = HeightMapExtractor(HeightMapPipeline(cfg))
+    plugin.set_sources(scene.images, scene.rpcs, *aoi_lonlat_ranges(scene))
+    metas = [ImageMeta(i, inc, az, date=30.0 * i)
+             for i, (inc, az) in enumerate(VIEWS3)]
+    layers = plugin.run(metas=metas, mode="first", n=2)
+    names = [p.get("name") for _, p, _ in layers]
+    # two pairs -> two disparity layers with distinct tags
+    disp_names = [n for n in names if n.startswith("disparity")]
+    assert len(disp_names) == 2 and len(set(disp_names)) == 2
+    layers_r = plugin.run(metas=metas, mode="random", n=3, seed=1)
+    assert sum(n.startswith("disparity")
+               for n in (p.get("name") for _, p, _ in layers_r)) == 1
 
 
 def test_pair_selection_on_metas():
