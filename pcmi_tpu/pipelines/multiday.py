@@ -43,6 +43,7 @@ class FusedCloud(NamedTuple):
     grid_cell: float
     icp_rmse: jnp.ndarray     # (P,) per-pair registration residual
     kmeans_centroids: Optional[jnp.ndarray]  # (K, 3) if clustering enabled
+    n_pairs_per_cell: Optional[jnp.ndarray] = None  # (ny, nx) redundancy
 
 
 class MultiDayFusion:
@@ -125,10 +126,32 @@ class MultiDayFusion:
         else:
             x0 = y0 = 0.0
             nx = ny = 1
-        dsm, cnt = pc.grid_fuse(
-            allpts[:, :2], allpts[:, 2], w_final.astype(jnp.float32),
-            origin=(x0, y0), cell=cell, shape=(ny, nx),
+
+        # per-pair grids + cross-pair median: single-pair blunders are
+        # outvoted by the other acquisition geometries (same finalisation
+        # as the streaming pipeline)
+        from pcmi_tpu.pipelines.streaming import (
+            StreamingDSM,
+            dsm_finalize_multi,
+            dsm_update,
         )
+
+        accs = []
+        offset = 0
+        for pts, w in zip(registered, weights):
+            n = pts.shape[0]
+            acc = StreamingDSM(wsum=jnp.zeros((ny, nx)),
+                               vsum=jnp.zeros((ny, nx)),
+                               vsq=jnp.zeros((ny, nx)))
+            w_slice = w_final[offset:offset + n].astype(jnp.float32)
+            acc = dsm_update(acc, pts[:, :2], pts[:, 2], w_slice,
+                             (x0, y0), cell, (ny, nx),
+                             robust_sigma=fus.knn_sigma)
+            accs.append(acc)
+            offset += n
+        dsm_np, cnt_np, n_pairs_cell = dsm_finalize_multi(accs)
+        dsm = jnp.asarray(dsm_np)
+        cnt = jnp.asarray(cnt_np)
 
         centroids = None
         if with_kmeans:
@@ -142,4 +165,5 @@ class MultiDayFusion:
             points=allpts, weights=w_final.astype(jnp.float32),
             dsm=dsm, dsm_count=cnt, grid_origin=(x0, y0), grid_cell=cell,
             icp_rmse=jnp.stack(rmses), kmeans_centroids=centroids,
+            n_pairs_per_cell=jnp.asarray(n_pairs_cell),
         )
