@@ -54,7 +54,6 @@ class StereoConfig:
     cost_type: str = "census_ad"     # census hamming + abs-diff mix
     census_window: int = 7           # census transform window (<=7 for 48-bit)
     ad_weight: float = 0.3           # weight of AD term vs census term
-    dtype: str = "bfloat16"          # cost-volume dtype on TPU
     # Blunder gates (post-matching validity). Foreground-fattening /
     # occlusion blunders concentrate in bands around disparity
     # discontinuities; invalidating those bands per pair is standard MVS
@@ -67,6 +66,13 @@ class StereoConfig:
 
     def __post_init__(self):
         object.__setattr__(self, "max_disp", _round_up(int(self.max_disp), 16))
+        if self.census_window > 7 or self.census_window < 3 \
+                or self.census_window % 2 == 0:
+            raise ValueError("census_window must be odd and within [3, 7]")
+        if self.sgm_paths != 4:
+            raise ValueError("only 4-path SGM (L/R/T/B) is implemented")
+        if self.cost_type != "census_ad":
+            raise ValueError(f"unknown cost_type {self.cost_type!r}")
 
     @property
     def min_disparity(self) -> int:
@@ -89,7 +95,11 @@ class RectifyConfig:
 
     probe_grid: Tuple[int, int, int] = (8, 8, 5)   # lon x lat x height samples
     height_range: Tuple[float, float] = (0.0, 50.0)  # ref constants.py:25 H_RANGE
-    interp_order: int = 1            # bilinear warps
+    interp_order: int = 1            # bilinear warps (the only implemented order)
+
+    def __post_init__(self):
+        if self.interp_order != 1:
+            raise ValueError("only bilinear (interp_order=1) warps are implemented")
 
 
 @dataclass(frozen=True)

@@ -145,24 +145,26 @@ def parse_nitf_tres(path: str, scan_bytes: int = 1 << 20) -> Dict[str, object]:
         out["RPC"] = _parse_rpc00b(rpc)
     use = _find_tre(head, b"USE00A")
     if use:
-        # USE00A: ANGLE_TO_NORTH(3) MEAN_GSD(5) f1(1) DYNAMIC_RANGE(5)
-        # f2(3+1+3) OBL_ANG(5) ROLL_ANG(6) ...
+        # USE00A (STDI-0002): ANGLE_TO_NORTH(3) MEAN_GSD(5) rsrvd(1)
+        # DYNAMIC_RANGE(5) rsrvd(3) rsrvd(1) rsrvd(3) -> OBL_ANG at [21:26],
+        # ROLL_ANG at [26:32]
         s = use.decode("ascii", errors="replace")
         try:
-            out["OBL_ANG"] = float(s[25:30])
+            out["OBL_ANG"] = float(s[21:26])
         except ValueError:
             pass
     cse = _find_tre(head, b"CSEXRA")
     if cse:
         s = cse.decode("ascii", errors="replace")
-        # CSEXRA: SENSOR(6) TIME_FIRST_LINE_IMAGE(12) TIME_IMAGE_DURATION(12)
-        # MAX_GSD(5) ALONG_SCAN_GSD(5) CROSS_SCAN_GSD(5) GEO_MEAN_GSD(5)
-        # A_S_VERT_GSD(5) C_S_VERT_GSD(5) GEO_MEAN_VERT_GSD(5) GSD_BETA_ANGLE(5)
-        # DYNAMIC_RANGE(2) NUM_LINES(7) NUM_SAMPLES(5) ANGLE_TO_NORTH(7)
-        # OBLIQUITY_ANGLE(6) AZ_OF_OBLIQUITY(7) ...
+        # CSEXRA (STDI-0002): SENSOR(6) TIME_FIRST_LINE_IMAGE(12)
+        # TIME_IMAGE_DURATION(12) MAX_GSD(5) ALONG_SCAN_GSD(5)
+        # CROSS_SCAN_GSD(5) GEO_MEAN_GSD(5) A_S_VERT_GSD(5) C_S_VERT_GSD(5)
+        # GEO_MEAN_VERT_GSD(5) GSD_BETA_ANGLE(5) DYNAMIC_RANGE(2)
+        # NUM_LINES(7) NUM_SAMPLES(5) ANGLE_TO_NORTH(7) ->
+        # OBLIQUITY_ANGLE at [91:97], AZ_OF_OBLIQUITY at [97:104]
         try:
-            out["AZ_OF_OBLIQUITY"] = float(s[87:94])
-            out["OBLIQUITY_ANGLE"] = float(s[81:87])
+            out["OBLIQUITY_ANGLE"] = float(s[91:97])
+            out["AZ_OF_OBLIQUITY"] = float(s[97:104])
         except ValueError:
             pass
     return out
@@ -172,27 +174,23 @@ def parse_nitf_tres(path: str, scan_bytes: int = 1 << 20) -> Dict[str, object]:
 # NITF 2.1 image segment decode (uncompressed) + test-grade writer
 # ---------------------------------------------------------------------------
 
-def read_nitf_image(path: str) -> np.ndarray:
-    """Decode the first image segment of a NITF 2.1 file (IC=NC only).
+def nitf_image_info(path: str) -> Dict[str, object]:
+    """Header-only probe of the first image segment: shape/dtype/offset.
 
-    Walks the fixed-layout file header (MIL-STD-2500C: FL at offset 342,
-    HL at 354, NUMI at 360 with LISH/LI pairs) to the first image
-    subheader, parses NROWS/NCOLS/PVTYPE/NBPP, and reads the raw band.
-    WV3 deliveries are usually JPEG2000 (IC=C8) — those need an external
-    decode step; the reference leaned on GDAL for it (``nitf_utils.py``),
-    and this framework flags it explicitly instead of shipping a codec.
+    Reads just the file header + image subheader (no pixel data) — the
+    cheap path for directory discovery over multi-gigabyte deliveries.
     """
     with open(path, "rb") as fh:
-        data = fh.read()
-    if data[:9] != b"NITF02.10" and data[:4] != b"NITF":
-        raise ValueError(f"{path}: not a NITF file")
-    hl = int(data[354:360])
-    numi = int(data[360:363])
-    if numi < 1:
-        raise ValueError("no image segments")
-    lish = int(data[363:369])
-    li = int(data[369:379])
-    sub = data[hl:hl + lish]
+        head = fh.read(4096)
+        if head[:9] != b"NITF02.10" and head[:4] != b"NITF":
+            raise ValueError(f"{path}: not a NITF file")
+        hl = int(head[354:360])
+        numi = int(head[360:363])
+        if numi < 1:
+            raise ValueError("no image segments")
+        lish = int(head[363:369])
+        fh.seek(hl)
+        sub = fh.read(lish)
 
     pos = 2 + 10 + 14 + 17 + 80 + 1  # IM IID1 IDATIM TGTID IID2 ISCLAS
     pos += 166                        # security group
@@ -221,9 +219,30 @@ def read_nitf_image(path: str) -> np.ndarray:
           ("SI", 16): ">i2", ("R", 32): ">f4"}.get((pvtype.strip(), nbpp))
     if dt is None:
         raise ValueError(f"unsupported PVTYPE/NBPP {pvtype}/{nbpp}")
-    arr = np.frombuffer(data, np.dtype(dt), count=nrows * ncols * nbands,
-                        offset=hl + lish)
-    arr = arr.astype(np.dtype(dt).newbyteorder("="))
+    return {
+        "nrows": nrows, "ncols": ncols, "nbands": nbands,
+        "dtype": np.dtype(dt), "data_offset": hl + lish,
+    }
+
+
+def read_nitf_image(path: str) -> np.ndarray:
+    """Decode the first image segment of a NITF 2.1 file (IC=NC only).
+
+    Walks the fixed-layout file header (MIL-STD-2500C: FL at offset 342,
+    HL at 354, NUMI at 360 with LISH/LI pairs) to the first image
+    subheader, parses NROWS/NCOLS/PVTYPE/NBPP, and reads the raw band.
+    WV3 deliveries are usually JPEG2000 (IC=C8) — those need an external
+    decode step; the reference leaned on GDAL for it (``nitf_utils.py``),
+    and this framework flags it explicitly instead of shipping a codec.
+    """
+    info = nitf_image_info(path)
+    nrows, ncols, nbands = info["nrows"], info["ncols"], info["nbands"]
+    dt: np.dtype = info["dtype"]  # type: ignore[assignment]
+    with open(path, "rb") as fh:
+        fh.seek(int(info["data_offset"]))
+        data = fh.read(nrows * ncols * nbands * dt.itemsize)
+    arr = np.frombuffer(data, dt, count=nrows * ncols * nbands)
+    arr = arr.astype(dt.newbyteorder("="))
     if nbands > 1:
         return arr.reshape(nrows, ncols, nbands)
     return arr.reshape(nrows, ncols)
@@ -257,12 +276,14 @@ def rpc00b_tre(rpc, err_bias: float = 0.0) -> bytes:
 
 
 def use00a_tre(incidence_deg: float) -> bytes:
-    body = (" " * 25 + f"{incidence_deg:05.2f}").ljust(107).encode("ascii")
+    # OBL_ANG sits at body offset 21 (see parse_nitf_tres layout comment)
+    body = (" " * 21 + f"{incidence_deg:05.2f}").ljust(107).encode("ascii")
     return b"USE00A" + f"{len(body):05d}".encode() + body
 
 
 def csexra_tre(incidence_deg: float, azimuth_deg: float) -> bytes:
-    body = (" " * 81 + f"{incidence_deg:06.2f}" + f"{azimuth_deg:07.2f}"
+    # OBLIQUITY_ANGLE at offset 91 (6), AZ_OF_OBLIQUITY at 97 (7)
+    body = (" " * 91 + f"{incidence_deg:06.2f}" + f"{azimuth_deg:07.2f}"
             ).ljust(132).encode("ascii")
     return b"CSEXRA" + f"{len(body):05d}".encode() + body
 

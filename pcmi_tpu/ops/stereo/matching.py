@@ -46,6 +46,11 @@ class DisparityResult(NamedTuple):
 
 def census_transform(img: jnp.ndarray, window: int = 7):
     """Census transform into two uint32 planes (bit-exact vs numpy_ref)."""
+    if window > 7 or window < 3 or window % 2 == 0:
+        raise ValueError(
+            f"census_window must be an odd value in [3, 7] (got {window}): "
+            f"two uint32 planes hold at most 48 neighbour bits"
+        )
     h, w = img.shape
     r = window // 2
     padded = jnp.pad(img, r, mode="edge")
@@ -322,9 +327,16 @@ def refine_disparity(
             guide, disp, valid, radius=cfg.gf_radius, eps=cfg.gf_eps
         )
         disp = jnp.where(valid, disp, filled)
+    # post-refinement L/R recheck at the relaxed threshold (the reference's
+    # second consistency gate after WLS, ``disparity.py:161``): filled
+    # pixels that now agree with the right view are re-admitted
+    readmit = lr_consistency(
+        disp, result.disparity_right, cfg.lr_threshold_final,
+        d_min=cfg.min_disparity, d_max=cfg.min_disparity + cfg.max_disp - 1,
+    )
     return DisparityResult(
         disparity=disp,
-        valid=result.valid,
+        valid=result.valid | readmit,
         cost=result.cost,
         disparity_right=result.disparity_right,
     )

@@ -113,7 +113,8 @@ def photoconsistency(left: jnp.ndarray, right: jnp.ndarray,
     return jnp.where(inb, jnp.abs(r - left), 1.0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "ground_percentile"))
+@partial(jax.jit, static_argnames=("cfg", "ground_percentile",
+                                   "cap_percentile", "with_plane"))
 def pair_core(
     rect1: jnp.ndarray,
     rect2: jnp.ndarray,
@@ -121,13 +122,18 @@ def pair_core(
     tri_b: jnp.ndarray,
     cfg: StereoConfig,
     ground_percentile: float = 2.0,
+    cap_percentile: float = 98.0,
+    with_plane: bool = True,
     row0: jnp.ndarray | float = 0.0,
 ) -> PairProduct:
     """The jit-once per-pair compute core on the rectified canvas.
 
     ``row0`` offsets the triangulation row coordinates — row-band tiles of
     one canvas (streaming pipeline) triangulate in the global frame while
-    sharing a single compiled executable."""
+    sharing a single compiled executable. ``with_plane=False`` skips the
+    plane fit and the full-canvas quantile sorts behind ``rel_height`` —
+    the fusion pipelines consume only ``xyz``/``valid`` and shouldn't pay
+    for the interactive display product."""
     mask1 = rect1 >= 0
     mask2 = rect2 >= 0
     n1, _ = normalise_image(rect1, mask1)
@@ -174,13 +180,21 @@ def pair_core(
     valid = res.valid & v1
     height = jnp.where(valid, xyz[..., 2], jnp.nan)
 
-    # SVD plane fit -> relative heights, ground at the low percentile
-    # (ref plugin.py:156-191)
-    plane = fit_plane(xyz, valid.astype(jnp.float32))
-    rel = plane_relative_height(xyz, plane)
-    from pcmi_tpu.ops.normalize import _masked_quantile
-    ground = _masked_quantile(rel, valid, jnp.asarray(ground_percentile / 100.0))
-    rel = jnp.where(valid, rel - ground, jnp.nan)
+    # SVD plane fit -> relative heights, ground at the low percentile,
+    # capped at the high percentile (ref plugin.py:156-191: 2-98 pct
+    # normalisation with ground zeroed at the 2nd percentile)
+    if with_plane:
+        plane = fit_plane(xyz, valid.astype(jnp.float32))
+        rel = plane_relative_height(xyz, plane)
+        from pcmi_tpu.ops.normalize import _masked_quantile
+        qs = _masked_quantile(
+            rel, valid,
+            jnp.asarray([ground_percentile / 100.0, cap_percentile / 100.0]),
+        )
+        rel = jnp.clip(rel - qs[0], None, qs[1] - qs[0])
+        rel = jnp.where(valid, rel, jnp.nan)
+    else:
+        rel = jnp.full_like(height, jnp.nan)
 
     return PairProduct(
         disparity=res.disparity, valid=valid, photo=photo, xyz=xyz,
@@ -219,6 +233,7 @@ class HeightMapPipeline:
         geom: RectifiedGeometry,
         stereo_cfg: Optional[StereoConfig] = None,
         cache=None,
+        with_plane: bool = True,
     ) -> PairProduct:
         """``cache`` (a :class:`pcmi_tpu.utils.cache.StageCache`) resumes a
         crashed/repeated run: identical inputs + config hit the stored pair
@@ -232,16 +247,20 @@ class HeightMapPipeline:
         )
         M, b = triangulation_operator(geom)
 
+        kwargs = dict(
+            ground_percentile=self.cfg.height_percentiles[0],
+            cap_percentile=self.cfg.height_percentiles[1],
+            with_plane=with_plane,
+        )
+
         def compute():
-            out = pair_core(r1, r2, M, b, cfg,
-                            ground_percentile=self.cfg.ground_percentile)
+            out = pair_core(r1, r2, M, b, cfg, **kwargs)
             return {k: np.asarray(v) for k, v in out._asdict().items()}
 
         if cache is None:
-            return pair_core(r1, r2, M, b, cfg,
-                             ground_percentile=self.cfg.ground_percentile)
+            return pair_core(r1, r2, M, b, cfg, **kwargs)
         got = cache.get_or_compute(
-            "pair_core", (repr(cfg), self.cfg.ground_percentile,
+            "pair_core", (repr(cfg), repr(sorted(kwargs.items())),
                           np.asarray(r1), np.asarray(r2),
                           np.asarray(M), np.asarray(b)),
             compute,
@@ -307,12 +326,15 @@ class HeightMapExtractor(SatellitePlugin):
         elif metas is not None:
             from pcmi_tpu.geometry.pairs import select_pairs, take_pairs
 
-            cands = take_pairs(select_pairs(metas, self.pipeline.cfg.pairs),
-                               max(n, 1))
-            if mode == "random" and cands:
+            ranked = select_pairs(metas, self.pipeline.cfg.pairs)
+            if mode == "random":
+                # sample from ALL valid pairs, not the best-n slice
                 import random
 
-                cands = [random.Random(seed).choice(cands)]
+                valid = [p for p in ranked if p.valid]
+                cands = [random.Random(seed).choice(valid)] if valid else []
+            else:
+                cands = take_pairs(ranked, max(n, 1))
             chosen = [(p.i, p.j) for p in cands]
         else:
             chosen = [(k, k + 1) for k in range(min(n, len(images) - 1))]

@@ -60,9 +60,11 @@ def discover_acquisitions(directory: str,
     for path in sorted(set(paths)):
         try:
             if path.lower().endswith((".ntf", ".nitf")):
+                from pcmi_tpu.io.nitf import nitf_image_info
+
                 meta = NITFMetadata.from_file(path)
-                img = read_nitf_image(path)
-                shape = img.shape[:2]
+                info = nitf_image_info(path)   # header-only shape probe
+                shape = (int(info["nrows"]), int(info["ncols"]))
             else:
                 rpc = _sidecar_rpc(path)
                 if rpc is None:

@@ -85,7 +85,8 @@ class MultiDayFusion:
         clouds, weights = [], []
         for k, (p, geom) in enumerate(zip(chosen, geoms)):
             product = self.pipeline.process_pair(
-                images[p.i], images[p.j], geom, stereo_cfg
+                images[p.i], images[p.j], geom, stereo_cfg,
+                with_plane=False,  # fusion consumes only xyz/valid
             )
             pts, w = product_point_cloud(
                 product, max_points=points_per_pair, key=jax.random.PRNGKey(k)

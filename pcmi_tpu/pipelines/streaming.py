@@ -206,7 +206,7 @@ class StreamingAOIPipeline:
                 b2 = jax.lax.dynamic_slice_in_dim(r2p, y0, band + 2 * pad, 0)
                 prod = pair_core(
                     b1, b2, M, b, cfg_s,
-                    ground_percentile=self.cfg.ground_percentile,
+                    with_plane=False,  # only xyz/valid feed the DSM
                     row0=jnp.float32(y0 - pad),
                 )
                 core = slice(pad, pad + band)

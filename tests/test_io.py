@@ -111,8 +111,10 @@ def _rpc00b_payload():
 
 def test_nitf_tre_scan(tmp_path):
     payload = _rpc00b_payload()
-    use00a = (" " * 25 + "24.50" + " " * 77).encode("ascii")[:107]
-    csexra = (" " * 81 + "024.50" + "0132.70" + " " * 40).encode("ascii")
+    # STDI-0002 offsets: USE00A OBL_ANG at [21:26]; CSEXRA
+    # OBLIQUITY_ANGLE at [91:97], AZ_OF_OBLIQUITY at [97:104]
+    use00a = (" " * 21 + "24.50" + " " * 81).encode("ascii")[:107]
+    csexra = (" " * 91 + "024.50" + "0132.70" + " " * 30).encode("ascii")
     blob = (
         b"NITF02.10" + b"03" + b"BF01" + b"0" * 10 + b"20190402110425"
         + b"\0" * 100
