@@ -125,8 +125,14 @@ void parse_tiff(const Mapped& m, TiffInfo& info) {
     }
     if (compression != 1) { info.error = "compressed TIFF unsupported"; return; }
     if (!info.width || !info.height) { info.error = "missing dims"; return; }
-    if (!tile_off.empty()) info.offsets = std::move(tile_off);
-    else {
+    if (!tile_off.empty()) {
+        if (!info.tile_w || !info.tile_h) {
+            info.error = "tiled layout without TileWidth/TileLength";
+            return;
+        }
+        info.offsets = std::move(tile_off);
+    } else {
+        info.tile_w = info.tile_h = 0;  // strips even if tag 322/323 present
         info.offsets = std::move(strip_off);
         if (!info.rows_per_strip) info.rows_per_strip = info.height;
     }
@@ -160,6 +166,10 @@ struct Reader {
                 for (uint32_t tx = x0 / tw; tx <= (x0 + w - 1) / tw; ++tx) {
                     const uint64_t idx = static_cast<uint64_t>(ty) * across + tx;
                     if (idx >= info.offsets.size()) return false;
+                    // offsets from untrusted files: payload must fit the map
+                    if (info.offsets[idx] +
+                        static_cast<uint64_t>(tw) * th * pb > map.size)
+                        return false;
                     const uint8_t* tile = map.data + info.offsets[idx];
                     const uint32_t ys = std::max(y0, ty * th);
                     const uint32_t ye = std::min(y0 + h, (ty + 1) * th);
@@ -179,11 +189,13 @@ struct Reader {
             for (uint32_t y = y0; y < y0 + h; ++y) {
                 const uint32_t s = y / rps;
                 if (s >= info.offsets.size()) return false;
-                const uint8_t* strip = map.data + info.offsets[s];
-                const uint8_t* src = strip +
-                    ((y - s * rps) * static_cast<size_t>(info.width) + x0) * pb;
-                std::memcpy(out + (y - y0) * static_cast<size_t>(w) * pb, src,
-                            static_cast<size_t>(w) * pb);
+                const uint64_t row_off = info.offsets[s] +
+                    ((y - s * rps) * static_cast<uint64_t>(info.width) + x0) * pb;
+                // untrusted offsets: the row must fit inside the mapping
+                if (row_off + static_cast<uint64_t>(w) * pb > map.size)
+                    return false;
+                std::memcpy(out + (y - y0) * static_cast<size_t>(w) * pb,
+                            map.data + row_off, static_cast<size_t>(w) * pb);
             }
         }
         if (swap && esize > 1)
@@ -228,32 +240,46 @@ struct Loader {
         return r->read_window(y0, x0, h, w, out_entry.data.data());
     }
 
-    // returns pointer to cached window (inserting if needed); nullptr on error
-    const CacheEntry* get(int img, uint32_t ty, uint32_t tx) {
+    // Copy a cached window into out (inserting on miss). The copy happens
+    // UNDER the cache mutex: returning a pointer into the LRU list would
+    // race with prefetch-worker evictions (use-after-free). Returns the
+    // entry size, -1 on decode error, -2 if out_bytes is too small; pass
+    // out == nullptr (prefetch path) to populate the cache without copying.
+    long get_into(int img, uint32_t ty, uint32_t tx,
+                  uint8_t* out, uint64_t out_bytes) {
         const std::string k = key(img, ty, tx);
         {
             std::lock_guard<std::mutex> lk(mu);
             auto it = index.find(k);
             if (it != index.end()) {
                 lru.splice(lru.begin(), lru, it->second);
-                return &it->second->second;
+                const auto& data = it->second->second.data;
+                if (!out) return static_cast<long>(data.size());
+                if (data.size() > out_bytes) return -2;
+                std::memcpy(out, data.data(), data.size());
+                return static_cast<long>(data.size());
             }
         }
         CacheEntry e;
-        if (!fetch(img, ty, tx, e)) return nullptr;
-        std::lock_guard<std::mutex> lk(mu);
-        auto it = index.find(k);  // raced insert?
-        if (it != index.end()) return &it->second->second;
-        used += e.data.size();
-        lru.emplace_front(k, std::move(e));
-        index[k] = lru.begin();
-        while (used > capacity && lru.size() > 1) {
-            auto& back = lru.back();
-            used -= back.second.data.size();
-            index.erase(back.first);
-            lru.pop_back();
+        if (!fetch(img, ty, tx, e)) return -1;
+        const size_t n = e.data.size();
+        if (out) {
+            if (n > out_bytes) return -2;
+            std::memcpy(out, e.data.data(), n);
         }
-        return &lru.begin()->second;
+        std::lock_guard<std::mutex> lk(mu);
+        if (index.find(k) == index.end()) {  // raced insert?
+            used += n;
+            lru.emplace_front(k, std::move(e));
+            index[k] = lru.begin();
+            while (used > capacity && lru.size() > 1) {
+                auto& back = lru.back();
+                used -= back.second.data.size();
+                index.erase(back.first);
+                lru.pop_back();
+            }
+        }
+        return static_cast<long>(n);
     }
 
     void worker() {
@@ -267,7 +293,8 @@ struct Loader {
             std::this_thread::sleep_for(std::chrono::milliseconds(1));
             continue;
         have:
-            get(std::get<0>(job), std::get<1>(job), std::get<2>(job));
+            get_into(std::get<0>(job), std::get<1>(job), std::get<2>(job),
+                     nullptr, 0);
         }
     }
 };
@@ -338,18 +365,18 @@ void pcmi_loader_destroy(void* h) {
 int pcmi_loader_get(void* h, int img, uint32_t ty, uint32_t tx,
                     uint8_t* out, uint64_t out_bytes) {
     auto* L = static_cast<Loader*>(h);
-    const CacheEntry* e = L->get(img, ty, tx);
-    if (!e) return -1;
-    if (e->data.size() > out_bytes) return -2;
-    std::memcpy(out, e->data.data(), e->data.size());
-    {
+    long n = L->get_into(img, ty, tx, out, out_bytes);
+    if (n < 0) return static_cast<int>(n);
+    if (!L->workers.empty()) {  // no workers -> nothing ever drains the queue
         std::lock_guard<std::mutex> lk(L->qmu);
-        L->queue.push_back({img, ty + 1, tx});
-        L->queue.push_back({img, ty, tx + 1});
-        if (ty) L->queue.push_back({img, ty - 1, tx});
-        if (tx) L->queue.push_back({img, ty, tx - 1});
+        if (L->queue.size() < 64) {  // bound redundant hot-tile enqueues
+            L->queue.push_back({img, ty + 1, tx});
+            L->queue.push_back({img, ty, tx + 1});
+            if (ty) L->queue.push_back({img, ty - 1, tx});
+            if (tx) L->queue.push_back({img, ty, tx - 1});
+        }
     }
-    return static_cast<int>(e->data.size());
+    return static_cast<int>(n);
 }
 
 }  // extern "C"
