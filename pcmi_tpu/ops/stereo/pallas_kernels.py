@@ -171,6 +171,103 @@ def _dir_call_sub(vol_sdb, reverse, band, chunk, p1, p2):
     )(vol_sdb)
 
 
+def _make_blocked_kernel(reverse: bool, with_prev: bool, nchunks: int,
+                         p1: float, p2: float):
+    """Blocked-layout SGM kernel: grid (bands, chunks), block (1, C, D, 128).
+
+    The band is the CONTIGUOUS minor axis of the blocked volume, so every
+    pallas-managed block DMA moves full-width rows — the strided-sliver DMA
+    of the manual variant ran at ~2% of HBM bandwidth and dominated wall
+    time regardless of the recurrence. State lives in VMEM scratch, which
+    persists across the sequential TPU grid; it resets at chunk index 0.
+    ``with_prev`` adds a second input accumulated into the output (the
+    forward pass result), so both directions cost three volume passes.
+    """
+
+    def kernel(*refs):
+        if with_prev:
+            cost_ref, prev_ref, out_ref, state = refs
+        else:
+            cost_ref, out_ref, state = refs
+            prev_ref = None
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            state[...] = jnp.zeros_like(state)
+
+        chunk = cost_ref.shape[1]
+
+        def pos(j, st):
+            x = j if not reverse else chunk - 1 - j
+            st = _step_sub(st, cost_ref[0, x], p1, p2)
+            if prev_ref is not None:
+                out_ref[0, x] = st + prev_ref[0, x]
+            else:
+                out_ref[0, x] = st
+            return st
+
+        state[...] = jax.lax.fori_loop(0, chunk, pos, state[...])
+
+    return kernel
+
+
+def _blocked_dir_sum(vol_b, nchunks, chunk, p1, p2):
+    """fwd then bwd+accumulate over a (nb, S, D, 128) blocked volume."""
+    nb, s, dp, lanes = vol_b.shape
+
+    def call(reverse, with_prev, args):
+        idx = (lambda b, k: (b, nchunks - 1 - k, 0, 0)) if reverse else \
+            (lambda b, k: (b, k, 0, 0))
+        spec = pl.BlockSpec((1, chunk, dp, lanes), idx,
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _make_blocked_kernel(reverse, with_prev, nchunks, p1, p2),
+            out_shape=jax.ShapeDtypeStruct((nb, s, dp, lanes), jnp.float32),
+            grid=(nb, nchunks),
+            in_specs=[spec] * len(args),
+            out_specs=spec,
+            scratch_shapes=[pltpu.VMEM((dp, lanes), jnp.float32)],
+            interpret=_interpret(),
+        )(*args)
+
+    fwd = call(False, False, (vol_b,))
+    return call(True, True, (vol_b, fwd))
+
+
+@partial(jax.jit, static_argnames=("p1", "p2", "chunk"))
+def sgm_aggregate_pallas_blocked(
+    vol_dhw: jnp.ndarray,
+    p1: float,
+    p2: float,
+    chunk: int = 32,
+) -> jnp.ndarray:
+    """4-path SGM via contiguous-band blocked kernels (the fast TPU path)."""
+    d, h, w = vol_dhw.shape
+    dp = int(np.ceil(d / 8) * 8)
+    hp = int(np.ceil(h / max(128, chunk)) * max(128, chunk))
+    wp = int(np.ceil(w / max(128, chunk)) * max(128, chunk))
+    vol = jnp.pad(vol_dhw, ((0, dp - d), (0, 0), (0, 0)), constant_values=BIG)
+    vol = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    # vertical: scan H; bands = W/128 contiguous lanes
+    vb = jnp.transpose(vol, (1, 0, 2)).reshape(hp, dp, wp // 128, 128)
+    vb = jnp.transpose(vb, (2, 0, 1, 3))                  # (nb, H, D, 128)
+    vert = _blocked_dir_sum(vb, hp // chunk, chunk, p1, p2)
+    vert = jnp.transpose(vert, (1, 2, 0, 3)).reshape(hp, dp, wp)
+    vert = jnp.transpose(vert, (1, 0, 2))                 # (D, H, W)
+
+    # horizontal: scan W; bands = H/128
+    hb = jnp.transpose(vol, (2, 0, 1)).reshape(wp, dp, hp // 128, 128)
+    hb = jnp.transpose(hb, (2, 0, 1, 3))                  # (mb, W, D, 128)
+    horiz = _blocked_dir_sum(hb, wp // chunk, chunk, p1, p2)
+    horiz = jnp.transpose(horiz, (1, 2, 0, 3)).reshape(wp, dp, hp)
+    horiz = jnp.transpose(horiz, (1, 2, 0))               # (D, H, W)
+
+    out = (vert + horiz) * 0.25
+    return out[:d, :h, :w]
+
+
 @partial(jax.jit, static_argnames=("p1", "p2", "band", "chunk"))
 def sgm_aggregate_pallas_sub(
     vol_dhw: jnp.ndarray,

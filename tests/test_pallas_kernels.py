@@ -7,8 +7,20 @@ from pcmi_tpu.config import StereoConfig
 from pcmi_tpu.ops.stereo.matching import sgm_aggregate
 from pcmi_tpu.ops.stereo.pallas_kernels import (
     sgm_aggregate_pallas,
+    sgm_aggregate_pallas_blocked,
     sgm_aggregate_pallas_sub,
 )
+
+
+def test_sgm_pallas_blocked_matches_xla_scan(rng):
+    """The contiguous-band blocked kernel must be bit-close to the scan."""
+    for (d, h, w) in [(16, 24, 40), (20, 19, 33)]:
+        vol = rng.uniform(0, 1, (d, h, w)).astype(np.float32)
+        cfg = StereoConfig(max_disp=32, sgm_backend="xla")
+        ref = np.asarray(sgm_aggregate(jnp.asarray(vol), cfg))
+        got = np.asarray(sgm_aggregate_pallas_blocked(
+            jnp.asarray(vol), cfg.sgm_p1, cfg.sgm_p2, chunk=8))
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
 
 
 def test_sgm_pallas_matches_xla_scan(rng):
