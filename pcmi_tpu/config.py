@@ -43,6 +43,11 @@ class StereoConfig:
     sgm_paths: int = 4               # L->R, R->L, T->B, B->T
     # "auto": Pallas kernels on TPU, XLA scans elsewhere; "pallas"/"xla" force
     sgm_backend: str = "auto"
+    # Coarse-to-fine matching: full search at half resolution + a local
+    # residual window at full resolution. ~5x less cost-volume/SGM work at
+    # reference scale (MAX_DISP=288); off by default (full search).
+    hierarchical: bool = False
+    hierarchical_local_disp: int = 16
     # Edge-aware refinement standing in for the WLS post-filter
     # (reference disparity.py:287-310): fast guided filter.
     gf_radius: int = 9

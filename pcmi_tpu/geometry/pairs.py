@@ -82,6 +82,11 @@ def select_pairs(
     for i in range(n):
         for j in range(i + 1, n):
             a, b = metas[i], metas[j]
+            # orientation normalisation (ref ``pair_selector.py:86-91``):
+            # order the pair by sin(azimuth) so the left/right roles — and
+            # hence the disparity sign across pairs — stay consistent
+            if np.sin(np.radians(a.azimuth_deg)) > np.sin(np.radians(b.azimuth_deg)):
+                a, b = b, a
             conv = convergence_angle_deg(a, b)
             valid = (
                 cfg.min_convergence_deg <= conv <= cfg.max_convergence_deg

@@ -146,7 +146,13 @@ def pair_core(
     v1 = mask1 & ~inv1
     v2 = mask2 & ~inv2
 
-    res = compute_disparity(n1, n2, v1, v2, cfg, aggregation="sgm")
+    if cfg.hierarchical:
+        from pcmi_tpu.ops.stereo.hierarchical import compute_disparity_hierarchical
+
+        res = compute_disparity_hierarchical(
+            n1, n2, v1, v2, cfg, local_disp=cfg.hierarchical_local_disp)
+    else:
+        res = compute_disparity(n1, n2, v1, v2, cfg, aggregation="sgm")
     res = refine_disparity(res, n1, cfg)
     photo = photoconsistency(
         n1, n2, res.disparity,
