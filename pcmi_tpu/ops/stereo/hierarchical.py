@@ -124,16 +124,22 @@ def compute_disparity_hierarchical(
     d_max = cfg.min_disparity + cfg.max_disp - 1
     base = jnp.clip(base, d_min + local_disp // 2, d_max - local_disp // 2)
     right_w = _warp_right_by(right, base, d_min, d_max)
+    # the warped image's validity is valid_r warped by the same base — the
+    # raw mask would misalign by up to the full base disparity at borders
+    valid_rw = _warp_right_by(valid_r.astype(jnp.float32), base,
+                              d_min, d_max) > 0.99
     cfg_f = dataclasses.replace(cfg, max_disp=local_disp)
-    res_f = compute_disparity(left, right_w, valid_l, valid_r, cfg_f,
+    res_f = compute_disparity(left, right_w, valid_l, valid_rw, cfg_f,
                               aggregation="sgm")
 
     disp = base + res_f.disparity
     valid = res_f.valid & base_valid
     disp_r, got = _resample_right_disp(disp, d_min, d_max)
+    # unmatched right cells get an OUT-OF-RANGE sentinel: 0.0 is a legal
+    # disparity and would spuriously pass downstream L/R rechecks
     return DisparityResult(
         disparity=disp,
         valid=valid,
         cost=res_f.cost,
-        disparity_right=jnp.where(got, disp_r, 0.0),
+        disparity_right=jnp.where(got, disp_r, jnp.float32(1e9)),
     )

@@ -40,6 +40,10 @@ def default_halo(cfg: StereoConfig) -> int:
         + cfg.speckle_median_size
         + 16  # vertical SGM decay allowance
     )
+    if getattr(cfg, "hierarchical", False):
+        # the coarse half-resolution pass doubles every footprint in
+        # full-resolution rows (window radii and SGM decay act at 2x scale)
+        r *= 2
     return ((r + 7) // 8) * 8
 
 

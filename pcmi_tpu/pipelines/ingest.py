@@ -36,6 +36,33 @@ class Acquisition:
             return np.asarray(read_nitf_image(self.path), np.float32)
         return np.asarray(read_tiff_fast(self.path), np.float32)
 
+    def load_window(self, win) -> np.ndarray:
+        """Crop-window read: native windowed decode for TIFFs (no full
+        read), full decode + slice otherwise."""
+        if not self.path.lower().endswith((".ntf", ".nitf")):
+            try:
+                from pcmi_tpu.io.native import NativeRaster
+
+                with NativeRaster(self.path) as r:
+                    return np.asarray(
+                        r.read(win.y_off, win.x_off, win.height, win.width),
+                        np.float32,
+                    )
+            except (RuntimeError, ValueError):
+                pass
+        return self.load()[win.slices]
+
+
+def _tiff_shape(path: str) -> Optional[Tuple[int, int]]:
+    """Header-only shape probe (native decoder); None -> caller falls back."""
+    try:
+        from pcmi_tpu.io.native import NativeRaster
+
+        with NativeRaster(path) as r:
+            return (r.height, r.width)
+    except (RuntimeError, ValueError):
+        return None
+
 
 def _sidecar_rpc(path: str) -> Optional[RPCCamera]:
     base, _ = os.path.splitext(path)
@@ -50,7 +77,8 @@ def _sidecar_rpc(path: str) -> Optional[RPCCamera]:
 
 
 def discover_acquisitions(directory: str,
-                          patterns=("*.ntf", "*.NTF", "*.tif", "*.tiff")
+                          patterns=("*.ntf", "*.NTF", "*.tif", "*.TIF",
+                                    "*.tiff", "*.TIFF")
                           ) -> List[Acquisition]:
     """Scan a directory for acquisitions with usable metadata."""
     out: List[Acquisition] = []
@@ -78,8 +106,9 @@ def discover_acquisitions(directory: str,
                     datetime_str=str(aux.get("idatim", "")),
                     rpc=rpc, path=path,
                 )
-                arr = read_tiff_fast(path)
-                shape = np.asarray(arr).shape[:2]
+                shape = _tiff_shape(path)
+                if shape is None:  # native decoder unavailable: full read
+                    shape = np.asarray(read_tiff_fast(path)).shape[:2]
             if meta.rpc is None:
                 continue
             out.append(Acquisition(path=path, meta=meta, shape=shape))
@@ -117,7 +146,7 @@ def prepare_aoi_stack(
             )
         except ValueError:
             continue  # AOI outside this acquisition
-        img = acq.load()[win.slices]
+        img = acq.load_window(win)
         images.append(img)
         rpcs.append(shift_rpc(acq.meta.rpc, win))
         metas.append(ImageMeta(

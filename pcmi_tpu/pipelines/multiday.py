@@ -67,6 +67,7 @@ class MultiDayFusion:
         points_per_pair: int = 1 << 17,
         with_kmeans: bool = False,
         grid_cell: Optional[float] = None,
+        cache=None,
     ) -> FusedCloud:
         chosen = self.select(metas)
         if not chosen:
@@ -86,6 +87,7 @@ class MultiDayFusion:
         for k, (p, geom) in enumerate(zip(chosen, geoms)):
             product = self.pipeline.process_pair(
                 images[p.i], images[p.j], geom, stereo_cfg,
+                cache=cache,
                 with_plane=False,  # fusion consumes only xyz/valid
             )
             pts, w = product_point_cloud(

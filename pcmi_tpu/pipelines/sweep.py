@@ -59,6 +59,7 @@ class MultiAOISweep:
                     aoi.lon_range, aoi.lat_range,
                     points_per_pair=points_per_pair,
                     with_kmeans=with_kmeans, grid_cell=grid_cell,
+                    cache=self.cache,
                 )
             keep = np.asarray(fused.weights) > 0
             out.fused[aoi.name] = fused

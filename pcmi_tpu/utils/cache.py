@@ -55,11 +55,20 @@ class StageCache:
             return None  # corrupt entry = miss (crash-safe)
 
     def store(self, key: str, arrays: Dict[str, np.ndarray]) -> None:
+        import tempfile
+
         path = self._path(key)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as fh:  # atomic publish: write tmp, rename
-            np.savez(fh, **{k: np.asarray(v) for k, v in arrays.items()})
-        os.replace(tmp, path)
+        # unique tmp per writer: a fixed name races across processes (one
+        # publishes a half-written file, the other crashes in os.replace)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                np.savez(fh, **{k: np.asarray(v) for k, v in arrays.items()})
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
 
     def get_or_compute(
         self, stage: str, inputs: tuple,
