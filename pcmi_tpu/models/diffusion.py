@@ -81,6 +81,28 @@ def make_schedule(cfg: DiffusionConfig) -> Schedule:
     return Schedule(alphas_bar=jnp.asarray(np.cumprod(1.0 - betas), jnp.float32))
 
 
+def karras_sigmas(cfg: DiffusionConfig, steps: int, rho: float = 7.0):
+    """Karras et al. sigma schedule mapped onto the VP training grid.
+
+    The reference samples with a DPM++ *Karras* scheduler
+    (``satdiff.py:97``): sigmas are spaced by ``sigma^(1/rho)`` between the
+    schedule's extremes, which concentrates steps where curvature is high.
+    Returns ``(sigmas[steps+1], t_indices[steps])`` — per-step sigma plus
+    the nearest trained timestep for conditioning the epsilon model.
+    """
+    # pure-numpy twin of make_schedule (callable from inside jit tracing)
+    betas = np.linspace(cfg.beta_start, cfg.beta_end, cfg.train_timesteps)
+    ab = np.cumprod(1.0 - betas).astype(np.float64)
+    sig_grid = np.sqrt((1.0 - ab) / ab)                  # VP sigma(t)
+    s_min, s_max = float(sig_grid[0]), float(sig_grid[-1])
+    ramp = np.linspace(0.0, 1.0, steps)
+    sigmas = (s_max ** (1 / rho) + ramp * (s_min ** (1 / rho) - s_max ** (1 / rho))) ** rho
+    t_idx = np.abs(sig_grid[None, :] - sigmas[:, None]).argmin(axis=1)
+    sigmas = np.concatenate([sigmas, [0.0]])
+    return (jnp.asarray(sigmas, jnp.float32),
+            jnp.asarray(t_idx, jnp.int32))
+
+
 def gaussian_weights(tile: int) -> jnp.ndarray:
     """Per-tile blend weights (ref ``gaussian_weights`` ``satdiff.py:58-65``)."""
     x = np.arange(tile) - (tile - 1) / 2
@@ -128,9 +150,8 @@ class TiledDiffusionEngine:
                                cond)
         return jnp.mean((eps - noise) ** 2)
 
-    @partial(jax.jit, static_argnames=("self", "canvas"))
-    def _sample(self, params, image, mask, key, canvas):
-        """DDIM sampling with tiled eps evaluation + known-region locking."""
+    def _tiler(self, canvas):
+        """(slice_tiles, blend_tiles) over the MultiDiffusion tile grid."""
         cfg = self.cfg
         h, w = canvas
         oy = tile_origins(h, cfg.tile, cfg.stride)
@@ -138,7 +159,6 @@ class TiledDiffusionEngine:
         origins = jnp.asarray([(y, x) for y in oy for x in ox], jnp.int32)
         wts = gaussian_weights(cfg.tile)
 
-        # accumulate constant blend normaliser once
         norm = jnp.zeros((h, w, 1))
         for y in oy:
             for x in ox:
@@ -147,9 +167,6 @@ class TiledDiffusionEngine:
                     jax.lax.dynamic_slice(norm, (y, x, 0), (cfg.tile, cfg.tile, 1)) + wts,
                     (y, x, 0),
                 )
-
-        cond_full = jnp.concatenate([image * (1 - mask), mask], axis=-1)
-        t_steps = jnp.linspace(cfg.train_timesteps - 1, 0, cfg.steps).astype(jnp.int32)
 
         def slice_tiles(full):
             def one(o):
@@ -166,6 +183,17 @@ class TiledDiffusionEngine:
                     acc, cur + tiles[i] * wts, (o[0], o[1], 0))
             acc = jnp.zeros((h, w, tiles.shape[-1]))
             return jax.lax.fori_loop(0, tiles.shape[0], body, acc) / norm
+
+        return slice_tiles, blend_tiles
+
+    @partial(jax.jit, static_argnames=("self", "canvas"))
+    def _sample(self, params, image, mask, key, canvas):
+        """DDIM sampling with tiled eps evaluation + known-region locking."""
+        cfg = self.cfg
+        h, w = canvas
+        slice_tiles, blend_tiles = self._tiler(canvas)
+        cond_full = jnp.concatenate([image * (1 - mask), mask], axis=-1)
+        t_steps = jnp.linspace(cfg.train_timesteps - 1, 0, cfg.steps).astype(jnp.int32)
 
         k0, kloop = jax.random.split(key)
         x = jax.random.normal(k0, (h, w, cfg.img_channels))
@@ -200,9 +228,76 @@ class TiledDiffusionEngine:
         (x, _), _ = jax.lax.scan(step, (x, kloop), pairs)
         return jnp.where(mask > 0.5, x, image)
 
+    @partial(jax.jit, static_argnames=("self", "canvas"))
+    def _sample_dpmpp(self, params, image, mask, key, canvas):
+        """DPM-Solver++(2M) with Karras sigmas (the reference's scheduler,
+        ``satdiff.py:97``), tiled eps evaluation + known-region locking.
+
+        Works in the sigma-space variable ``x_sig = x0 + sigma*eps``; the
+        VP-trained epsilon model is queried at the nearest trained timestep
+        with the matching VP scaling.
+        """
+        cfg = self.cfg
+        h, w = canvas
+        slice_tiles, blend_tiles = self._tiler(canvas)
+        cond_full = jnp.concatenate([image * (1 - mask), mask], axis=-1)
+        sigmas, t_idx = karras_sigmas(cfg, cfg.steps)
+        ab = self.schedule.alphas_bar
+
+        def eps_at(x_sig, ti):
+            # exact VP view of the sigma-space state:
+            # sqrt(ab)*(x0 + sigma*eps) = sqrt(ab)*x0 + sqrt(1-ab)*eps
+            x_vp = x_sig * jnp.sqrt(ab[ti])
+            tiles_x = slice_tiles(x_vp)
+            tiles_c = slice_tiles(cond_full)
+            tvec = jnp.full((tiles_x.shape[0],),
+                            ti.astype(jnp.float32) / cfg.train_timesteps)
+            return blend_tiles(self.model.apply(params, tiles_x, tvec, tiles_c))
+
+        k0, kloop = jax.random.split(key)
+        x = jax.random.normal(k0, (h, w, cfg.img_channels)) * sigmas[0]
+
+        def step(carry, i):
+            x, old_denoised, k = carry
+            sig, sig_next = sigmas[i], sigmas[i + 1]
+            ti = t_idx[i]
+            denoised = x - sig * eps_at(x, ti)
+            t_cur = -jnp.log(jnp.maximum(sig, 1e-8))
+            t_next = -jnp.log(jnp.maximum(sig_next, 1e-8))
+            h_step = t_next - t_cur
+            # 2M multistep correction (skipped on the first step and when
+            # the previous h is unavailable)
+            prev_sig = sigmas[jnp.maximum(i - 1, 0)]
+            h_last = t_cur + jnp.log(jnp.maximum(prev_sig, 1e-8))
+            r = h_last / jnp.where(h_step == 0, 1e-8, h_step)
+            use_2m = (i > 0) & (sig_next > 0)
+            d = jnp.where(
+                use_2m,
+                (1 + 1 / (2 * jnp.maximum(r, 1e-6))) * denoised
+                - (1 / (2 * jnp.maximum(r, 1e-6))) * old_denoised,
+                denoised,
+            )
+            x_new = (sig_next / jnp.maximum(sig, 1e-8)) * x \
+                - jnp.expm1(-h_step) * d
+            x_new = jnp.where(sig_next > 0, x_new, denoised)
+            # lock known region at the new noise level (ref :222-229)
+            k, kn = jax.random.split(k)
+            known = image + sig_next * jax.random.normal(kn, x.shape)
+            x_new = jnp.where(mask > 0.5, x_new, known)
+            return (x_new, denoised, k), None
+
+        (x, _, _), _ = jax.lax.scan(
+            step, (x, jnp.zeros_like(x), kloop), jnp.arange(cfg.steps))
+        return jnp.where(mask > 0.5, x, image)
+
     def inpaint(self, params, image: jnp.ndarray, mask: jnp.ndarray,
-                seed: int = 0) -> jnp.ndarray:
-        """image (H, W, C) in [-1, 1]-ish range; mask (H, W, 1), 1 = hole."""
+                seed: int = 0, method: str = "dpmpp") -> jnp.ndarray:
+        """image (H, W, C) in [-1, 1]-ish range; mask (H, W, 1), 1 = hole.
+
+        ``method``: ``"dpmpp"`` (DPM-Solver++ 2M, Karras sigmas — reference
+        default) or ``"ddim"``.
+        """
         h, w = image.shape[:2]
-        return self._sample(params, image, mask, jax.random.PRNGKey(seed),
-                            canvas=(h, w))
+        fn = self._sample_dpmpp if method == "dpmpp" else self._sample
+        return fn(params, image, mask, jax.random.PRNGKey(seed),
+                  canvas=(h, w))

@@ -8,6 +8,11 @@ from pcmi_tpu.parallel.mesh import (
     replicated,
 )
 from pcmi_tpu.parallel.halo import halo_exchange_rows, sharded_rows_map
+from pcmi_tpu.parallel.multihost import (
+    DCN_AXIS,
+    initialize as initialize_multihost,
+    make_multihost_mesh,
+)
 from pcmi_tpu.parallel.stereo_sharded import (
     batched_pair_step,
     default_halo,
@@ -17,6 +22,9 @@ from pcmi_tpu.parallel.stereo_sharded import (
 __all__ = [
     "DATA_AXIS",
     "TILE_AXIS",
+    "DCN_AXIS",
+    "initialize_multihost",
+    "make_multihost_mesh",
     "make_mesh",
     "pair_sharding",
     "replicated",

@@ -174,7 +174,19 @@ def test_diffusion_train_loss_decreases_and_inpaint_runs(rng):
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
-    out = eng.inpaint(params, jnp.asarray(rng.uniform(-1, 1, (24, 24, 1)),
-                                          jnp.float32),
-                      jnp.zeros((24, 24, 1)).at[6:12, 6:12].set(1.0))
-    assert out.shape == (24, 24, 1) and np.isfinite(np.asarray(out)).all()
+    hole = jnp.zeros((24, 24, 1)).at[6:12, 6:12].set(1.0)
+    img = jnp.asarray(rng.uniform(-1, 1, (24, 24, 1)), jnp.float32)
+    for method in ("dpmpp", "ddim"):
+        out = eng.inpaint(params, img, hole, method=method)
+        assert out.shape == (24, 24, 1) and np.isfinite(np.asarray(out)).all()
+        # known region locked exactly
+        np.testing.assert_allclose(np.asarray(out)[~np.asarray(hole[..., 0], bool)],
+                                   np.asarray(img)[~np.asarray(hole[..., 0], bool)])
+
+    # Karras sigma schedule: strictly decreasing, ends at zero
+    from pcmi_tpu.models.diffusion import karras_sigmas
+
+    sig, t_idx = karras_sigmas(cfg, 8)
+    s = np.asarray(sig)
+    assert (np.diff(s[:-1]) < 0).all() and s[-1] == 0.0
+    assert (np.diff(np.asarray(t_idx)) <= 0).all()

@@ -23,6 +23,20 @@ def test_eight_virtual_devices():
     assert jax.device_count() == 8
 
 
+def test_multihost_helpers_single_process():
+    from pcmi_tpu.parallel import initialize_multihost, make_multihost_mesh
+    from pcmi_tpu.parallel.multihost import DCN_AXIS
+
+    # no coordinator anywhere -> a no-op, not a crash
+    assert initialize_multihost() is False
+    mesh = make_multihost_mesh(data=2)
+    assert mesh.axis_names == (DCN_AXIS, "data", "tile")
+    assert mesh.shape[DCN_AXIS] == 1
+    assert mesh.shape["data"] == 2 and mesh.shape["tile"] == 4
+    with pytest.raises(ValueError):
+        make_multihost_mesh(data=3)
+
+
 def test_halo_exchange_rows_matches_slices():
     mesh = make_mesh(data=1, tile=8)
     x = jnp.arange(8 * 4 * 16, dtype=jnp.float32).reshape(32, 16)
