@@ -187,6 +187,64 @@ def cmd_fuse(args) -> int:
     return 0
 
 
+def _write_hillshade(path: str, dsm: np.ndarray, cell: float) -> None:
+    """Shaded-relief PNG of a DSM (the at-a-glance product check)."""
+    from pcmi_tpu.utils.visualize import save_image
+
+    z = np.nan_to_num(dsm, nan=float(np.nanmin(dsm) if np.isfinite(dsm).any() else 0))
+    gy, gx = np.gradient(z, cell)
+    az, alt = np.radians(315.0), np.radians(45.0)
+    slope = np.arctan(np.hypot(gx, gy))
+    aspect = np.arctan2(-gx, gy)
+    shade = (np.sin(alt) * np.cos(slope)
+             + np.cos(alt) * np.sin(slope) * np.cos(az - aspect))
+    shade = np.where(np.isfinite(dsm), shade, np.nan)
+    save_image(path, shade)
+
+
+def cmd_stream(args) -> int:
+    """Streaming whole-AOI pipeline (BASELINE configs 3-4)."""
+    from pcmi_tpu.config import PipelineConfig, from_flat_overrides
+    from pcmi_tpu.geometry.pairs import ImageMeta
+    from pcmi_tpu.io.raster import write_tiff
+    from pcmi_tpu.pipelines.streaming import StreamingAOIPipeline
+
+    cfg = from_flat_overrides(PipelineConfig(), _parse_overrides(args.set))
+    if getattr(args, "images", None):
+        from pcmi_tpu.pipelines.ingest import (
+            discover_acquisitions,
+            prepare_aoi_stack,
+        )
+
+        acqs = discover_acquisitions(args.images)
+        images, rpcs, metas, lon_r, lat_r = prepare_aoi_stack(
+            acqs, kml_path=args.kml)
+    elif args.demo:
+        scene, (lon_r, lat_r) = _demo_scene(cfg)
+        views = [(10.0, 80.0), (20.0, 250.0), (16.0, 170.0)]
+        metas = [ImageMeta(i, inc, az, date=30.0 * i)
+                 for i, (inc, az) in enumerate(views)]
+        images, rpcs = scene.images, scene.rpcs
+    else:
+        print("need --demo or --images DIR --kml FILE", file=sys.stderr)
+        return 2
+    out = StreamingAOIPipeline(cfg).run(images, rpcs, metas, lon_r, lat_r,
+                                        grid_cell=1.0)
+    os.makedirs(args.output, exist_ok=True)
+    write_tiff(os.path.join(args.output, "dsm.tif"),
+               np.asarray(out["dsm"], np.float32))
+    write_tiff(os.path.join(args.output, "n_pairs.tif"),
+               np.asarray(out["n_pairs_per_cell"], np.float32))
+    _write_hillshade(os.path.join(args.output, "hillshade.png"),
+                     out["dsm"], out["cell"])
+    print(json.dumps({
+        "dsm_shape": list(out["dsm"].shape), "pairs": out["pairs"],
+        "tiles": out["tiles"],
+        "filled": float(np.isfinite(out["dsm"]).mean()),
+    }))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench  # repo-root bench.py
 
@@ -206,7 +264,7 @@ def main(argv=None) -> int:
     rp.add_argument("--input2")
     rp.add_argument("--output", default="out")
 
-    for name in ("height-map", "fuse"):
+    for name in ("height-map", "fuse", "stream"):
         p = sub.add_parser(name)
         p.add_argument("--demo", action="store_true",
                        help="use the synthetic ground-truth scene")
@@ -224,6 +282,7 @@ def main(argv=None) -> int:
         "run": cmd_run,
         "height-map": cmd_height_map,
         "fuse": cmd_fuse,
+        "stream": cmd_stream,
         "bench": cmd_bench,
     }[args.cmd](args)
 

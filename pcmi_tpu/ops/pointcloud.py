@@ -339,6 +339,12 @@ def icp(
         matched = d[idx]
         thresh = jnp.quantile(jnp.where(src_valid, dist, jnp.inf),
                               trim_quantile * jnp.mean(src_valid.astype(jnp.float32)))
+        # gross-outlier gate on top of the quantile trim: correspondences
+        # several times the median distance drag the centroid even when
+        # they survive the trim fraction (seen with planted z-outliers)
+        med = jnp.quantile(jnp.where(src_valid, dist, jnp.inf),
+                           0.5 * jnp.mean(src_valid.astype(jnp.float32)))
+        thresh = jnp.minimum(thresh, 4.0 * med + 1e-6)
         w = sw * (dist <= thresh)
         wsum = jnp.maximum(jnp.sum(w), 1e-6)
         mu_s = jnp.sum(moved * w[:, None], axis=0) / wsum
