@@ -70,6 +70,10 @@ class DiffusionConfig:
     tile: int = 64                # ref 64-latent tiles (satdiff.py:68-80)
     stride: int = 48              # ref stride 48
     img_channels: int = 3
+    # ControlNet-canny analogue (ref ``make_canny`` ``satdiff.py:123-129``):
+    # a Sobel edge map of the known region (zeroed inside the hole) joins
+    # the conditioning stack so structure continues across the fill
+    edge_conditioning: bool = False
 
 
 class Schedule(NamedTuple):
@@ -103,6 +107,28 @@ def karras_sigmas(cfg: DiffusionConfig, steps: int, rho: float = 7.0):
             jnp.asarray(t_idx, jnp.int32))
 
 
+def sobel_edges(img: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel Sobel gradient magnitude of the known region, hole zeroed
+    (the reference's canny control image, ``satdiff.py:123-129``)."""
+    mono = img.mean(axis=-1, keepdims=True) if img.ndim == 3 else img[..., None]
+    m = mono[..., 0]
+    gx = (jnp.roll(m, -1, 1) - jnp.roll(m, 1, 1)
+          + 0.5 * (jnp.roll(jnp.roll(m, -1, 1), 1, 0) - jnp.roll(jnp.roll(m, 1, 1), 1, 0))
+          + 0.5 * (jnp.roll(jnp.roll(m, -1, 1), -1, 0) - jnp.roll(jnp.roll(m, 1, 1), -1, 0)))
+    gy = (jnp.roll(m, -1, 0) - jnp.roll(m, 1, 0)
+          + 0.5 * (jnp.roll(jnp.roll(m, -1, 0), 1, 1) - jnp.roll(jnp.roll(m, 1, 0), 1, 1))
+          + 0.5 * (jnp.roll(jnp.roll(m, -1, 0), -1, 1) - jnp.roll(jnp.roll(m, 1, 0), -1, 1)))
+    edges = jnp.hypot(gx, gy)[..., None]
+    return edges * (1.0 - mask)
+
+
+def _cond_stack(cfg: DiffusionConfig, image: jnp.ndarray, mask: jnp.ndarray):
+    parts = [image * (1 - mask), mask]
+    if cfg.edge_conditioning:
+        parts.append(sobel_edges(image, mask))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def gaussian_weights(tile: int) -> jnp.ndarray:
     """Per-tile blend weights (ref ``gaussian_weights`` ``satdiff.py:58-65``)."""
     x = np.arange(tile) - (tile - 1) / 2
@@ -130,8 +156,9 @@ class TiledDiffusionEngine:
 
     def init_params(self, key: jax.Array):
         c = self.cfg.img_channels
+        cond_ch = c + 1 + (1 if self.cfg.edge_conditioning else 0)
         x = jnp.zeros((1, self.cfg.tile, self.cfg.tile, c))
-        cond = jnp.zeros((1, self.cfg.tile, self.cfg.tile, c + 1))
+        cond = jnp.zeros((1, self.cfg.tile, self.cfg.tile, cond_ch))
         return self.model.init(key, x, jnp.zeros((1,)), cond)
 
     @partial(jax.jit, static_argnames=("self",))
@@ -144,7 +171,7 @@ class TiledDiffusionEngine:
         ab = self.schedule.alphas_bar[t_idx][:, None, None, None]
         noise = jax.random.normal(kn, images.shape)
         x_t = jnp.sqrt(ab) * images + jnp.sqrt(1 - ab) * noise
-        cond = jnp.concatenate([images * (1 - masks), masks], axis=-1)
+        cond = jax.vmap(lambda im, mk: _cond_stack(cfg, im, mk))(images, masks)
         eps = self.model.apply(params, x_t,
                                t_idx.astype(jnp.float32) / cfg.train_timesteps,
                                cond)
@@ -192,7 +219,7 @@ class TiledDiffusionEngine:
         cfg = self.cfg
         h, w = canvas
         slice_tiles, blend_tiles = self._tiler(canvas)
-        cond_full = jnp.concatenate([image * (1 - mask), mask], axis=-1)
+        cond_full = _cond_stack(cfg, image, mask)
         t_steps = jnp.linspace(cfg.train_timesteps - 1, 0, cfg.steps).astype(jnp.int32)
 
         k0, kloop = jax.random.split(key)
@@ -240,7 +267,7 @@ class TiledDiffusionEngine:
         cfg = self.cfg
         h, w = canvas
         slice_tiles, blend_tiles = self._tiler(canvas)
-        cond_full = jnp.concatenate([image * (1 - mask), mask], axis=-1)
+        cond_full = _cond_stack(cfg, image, mask)
         sigmas, t_idx = karras_sigmas(cfg, cfg.steps)
         ab = self.schedule.alphas_bar
 

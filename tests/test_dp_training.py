@@ -57,3 +57,28 @@ def test_add_layers_dispatches_by_kind(rng):
     add_layers(v, layers)
     assert [c[0] for c in v.calls] == ["image", "points"]
     assert v.calls[0][2]["name"] == "a"
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, rng):
+    """save/restore of a full GAN state (params + both optimizers) is exact
+    (the reference resumes torch .pt checkpoints; notebook cell 26)."""
+    import os
+
+    from pcmi_tpu.models.training import restore_checkpoint, save_checkpoint
+
+    trainer = InpaintGANTrainer(
+        InpaintTrainConfig(compute_dtype="float32"),
+        generator=InpaintUNet(widths=(8, 16, 32)),
+        discriminator=PatchDiscriminator(widths=(8, 16, 32, 32)),
+    )
+    img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+    state = trainer.init(jax.random.PRNGKey(0), img)
+    state, _ = trainer.train_step(state, img, jax.random.PRNGKey(1))
+    path = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint(path, state)
+    back = restore_checkpoint(path, state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training resumes from the restored state
+    back2, metrics = trainer.train_step(back, img, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["g_loss"]))

@@ -190,3 +190,33 @@ def test_diffusion_train_loss_decreases_and_inpaint_runs(rng):
     s = np.asarray(sig)
     assert (np.diff(s[:-1]) < 0).all() and s[-1] == 0.0
     assert (np.diff(np.asarray(t_idx)) <= 0).all()
+
+
+@pytest.mark.slow
+def test_diffusion_edge_conditioning(rng):
+    """ControlNet-canny analogue: edge channel joins the conditioning."""
+    import optax
+
+    from pcmi_tpu.models.diffusion import (
+        CondUNet,
+        DiffusionConfig,
+        TiledDiffusionEngine,
+        sobel_edges,
+    )
+
+    img = jnp.asarray(rng.uniform(-1, 1, (16, 16, 1)), jnp.float32)
+    mask = jnp.zeros((16, 16, 1)).at[4:10, 4:10].set(1.0)
+    e = np.asarray(sobel_edges(img, mask))
+    assert e.shape == (16, 16, 1)
+    assert (e[np.asarray(mask[..., 0], bool)] == 0).all()  # hole zeroed
+
+    cfg = DiffusionConfig(steps=3, tile=16, stride=12, img_channels=1,
+                          train_timesteps=50, edge_conditioning=True)
+    eng = TiledDiffusionEngine(cfg, model=CondUNet(widths=(8, 16, 16),
+                                                   out_channels=1))
+    params = eng.init_params(jax.random.PRNGKey(0))
+    loss = eng.train_step_loss(params, img[None], mask[None],
+                               jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    out = eng.inpaint(params, img, mask)
+    assert out.shape == (16, 16, 1) and np.isfinite(np.asarray(out)).all()
