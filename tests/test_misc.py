@@ -90,3 +90,38 @@ def test_cli_error_degrades(tmp_path, rng, capsys):
     assert "error" in err.lower()
     rc = cli_main(["run", "nope", "--input", src])
     assert rc == 2
+
+
+def test_config_validation_errors():
+    import pytest as _pytest
+
+    from pcmi_tpu.config import RectifyConfig, StereoConfig
+
+    with _pytest.raises(ValueError, match="census_window"):
+        StereoConfig(census_window=9)
+    with _pytest.raises(ValueError, match="census_window"):
+        StereoConfig(census_window=4)
+    with _pytest.raises(ValueError, match="4-path"):
+        StereoConfig(sgm_paths=8)
+    with _pytest.raises(ValueError, match="cost_type"):
+        StereoConfig(cost_type="mi")
+    with _pytest.raises(ValueError, match="bilinear"):
+        RectifyConfig(interp_order=3)
+    # max_disp rounds up to /16
+    assert StereoConfig(max_disp=70).max_disp == 80
+
+
+def test_device_trace_and_scope(tmp_path):
+    import os
+
+    import jax.numpy as jnp
+
+    from pcmi_tpu.utils import device_trace, reset_stats, scope, stats
+
+    reset_stats()
+    with device_trace(str(tmp_path)):
+        with scope("traced"):
+            jnp.sum(jnp.ones((64, 64))).block_until_ready()
+    files = [f for _, _, fs in os.walk(str(tmp_path)) for f in fs]
+    assert files, "profiler produced no trace files"
+    assert "traced" in stats()
