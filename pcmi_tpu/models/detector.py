@@ -161,7 +161,9 @@ class DetectorTrainer:
         def detect(batch):
             x = batch[..., None] if batch.ndim == 3 else batch
             heat_l, size_p, off_p = model.apply(params, x)
-            heat = jax.nn.sigmoid(heat_l)[..., 0]
+            heat_all = jax.nn.sigmoid(heat_l)       # (N, h, w, n_classes)
+            heat = heat_all.max(axis=-1)
+            cls = jnp.argmax(heat_all, axis=-1)     # per-peak class
             peaks = jax.lax.reduce_window(
                 heat, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
             is_peak = (heat == peaks) & (heat > score_thresh)
@@ -174,13 +176,14 @@ class DetectorTrainer:
             bidx = jnp.arange(n)[:, None]
             sz = size_p[bidx, idx // ww, idx % ww]
             of = off_p[bidx, idx // ww, idx % ww]
+            kls = cls[bidx, idx // ww, idx % ww].astype(jnp.float32)
             cy = (py + of[..., 0]) * s
             cx = (px + of[..., 1]) * s
             bh = jnp.maximum(sz[..., 0], 0.0) * s
             bw = jnp.maximum(sz[..., 1], 0.0) * s
             return jnp.stack([
                 cy - bh / 2, cx - bw / 2, cy + bh / 2, cx + bw / 2,
-                top, jnp.zeros_like(top),
+                top, kls,
             ], axis=-1)
 
         return detect

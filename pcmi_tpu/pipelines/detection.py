@@ -63,11 +63,13 @@ def extract_slices(img: jnp.ndarray, offsets: jnp.ndarray, tile: int):
 
 @partial(jax.jit, static_argnames=("max_out",))
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float = 0.5,
-        max_out: int = 256):
+        max_out: int = 256, classes: jnp.ndarray | None = None):
     """Vectorised NMS: returns indices of kept boxes (padded with -1).
 
     Boxes are (K, 4) ``(y0, x0, y1, x1)``; the suppression matrix is O(K²)
-    elementwise — ideal VPU shape for K ≲ few thousand.
+    elementwise — ideal VPU shape for K ≲ few thousand. When ``classes`` is
+    given, suppression is class-aware (overlapping boxes of different
+    classes both survive, the standard multi-class convention).
     """
     y0, x0, y1, x1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     area = jnp.maximum(y1 - y0, 0) * jnp.maximum(x1 - x0, 0)
@@ -77,6 +79,9 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float = 0.5,
     ix1 = jnp.minimum(x1[:, None], x1[None, :])
     inter = jnp.maximum(iy1 - iy0, 0) * jnp.maximum(ix1 - ix0, 0)
     iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
+    if classes is not None:
+        same = classes[:, None] == classes[None, :]
+        iou = jnp.where(same, iou, 0.0)
 
     order = jnp.argsort(-scores)
     k = boxes.shape[0]
@@ -192,7 +197,8 @@ class ObjectDetector:
                              classes=np.zeros(0, np.int32))
         keep = np.asarray(nms(jnp.asarray(boxes, jnp.float32),
                               jnp.asarray(scores, jnp.float32),
-                              self.iou_thresh))
+                              self.iou_thresh,
+                              classes=jnp.asarray(classes)))
         keep = keep[keep >= 0]
         return Detection(boxes=boxes[keep], scores=scores[keep],
                          classes=classes[keep])

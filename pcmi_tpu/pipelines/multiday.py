@@ -73,28 +73,47 @@ class MultiDayFusion:
         if not chosen:
             raise ValueError("no valid stereo pairs under the selection config")
 
-        # one shared stereo config -> pair_core compiles once per canvas shape
-        geoms = [
-            self.pipeline.build_geometry(
-                rpcs[p.i], rpcs[p.j], lon_range, lat_range,
-                images[p.i].shape, images[p.j].shape,
-            )
-            for p in chosen
-        ]
+        # one shared stereo config -> pair_core compiles once per canvas
+        # shape. Per-pair failures (degenerate geometry for an unusual view
+        # combination, unreadable source) degrade to a skipped pair, the
+        # reference's error-layer habit (``disparity/plugin.py:77-91``).
+        import logging
+
+        log = logging.getLogger("pcmi_tpu")
+        geoms = []
+        usable = []
+        for p in chosen:
+            try:
+                geoms.append(self.pipeline.build_geometry(
+                    rpcs[p.i], rpcs[p.j], lon_range, lat_range,
+                    images[p.i].shape, images[p.j].shape,
+                ))
+                usable.append(p)
+            except Exception as exc:
+                log.warning("pair (%d, %d): geometry failed: %s", p.i, p.j, exc)
+        chosen = usable
+        if not chosen:
+            raise ValueError("every selected pair failed geometry construction")
         stereo_cfg = self.pipeline.stereo_cfg_for(geoms)
 
         clouds, weights = [], []
         for k, (p, geom) in enumerate(zip(chosen, geoms)):
-            product = self.pipeline.process_pair(
-                images[p.i], images[p.j], geom, stereo_cfg,
-                cache=cache,
-                with_plane=False,  # fusion consumes only xyz/valid
-            )
+            try:
+                product = self.pipeline.process_pair(
+                    images[p.i], images[p.j], geom, stereo_cfg,
+                    cache=cache,
+                    with_plane=False,  # fusion consumes only xyz/valid
+                )
+            except Exception as exc:
+                log.warning("pair (%d, %d): stereo failed: %s", p.i, p.j, exc)
+                continue
             pts, w = product_point_cloud(
                 product, max_points=points_per_pair, key=jax.random.PRNGKey(k)
             )
             clouds.append(pts)
             weights.append(w)
+        if not clouds:
+            raise ValueError("every selected pair failed stereo processing")
 
         # register every cloud onto the first
         fus = self.cfg.fusion
