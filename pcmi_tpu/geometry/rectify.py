@@ -93,6 +93,9 @@ def compute_rectification(
 
     ``probes_local`` is an (N, 3) lattice in the local metric frame spanning
     the AOI volume; it determines the epipolar fit and output bounds.
+    ``shape1``/``shape2`` are reserved: the rectified canvas derives from
+    the probe projections only and is NOT clipped to the image footprints
+    (out-of-footprint samples come back as the -1 fill after warping).
     """
     P = np.asarray(probes_local, np.float64)
     p1 = P @ np.asarray(cam1.A, np.float64).T + np.asarray(cam1.b, np.float64)
@@ -156,18 +159,51 @@ def compute_rectification(
     )
 
 
-def rectify_images(geom: RectifiedGeometry, img1: jnp.ndarray, img2: jnp.ndarray,
-                   fill: float = -1.0):
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("out_shape", "fill"))
+def rectify_arrays(img1, img2, H1, H2, out_shape, fill=-1.0):
     """Warp both images onto the rectified canvas (bilinear, jitted).
 
+    The array-only core shared by every production path (pipelines, bench,
+    streaming); ``rectify_images`` is the geometry-object convenience view.
     Fill value -1 follows the reference's undefined-pixel sentinel
     (``processing.py:21-41``); downstream masks are ``img >= 0``.
     """
-    inv1 = invert_affine(jnp.asarray(geom.H1, jnp.float32))
-    inv2 = invert_affine(jnp.asarray(geom.H2, jnp.float32))
-    r1 = affine_warp(img1, inv1, geom.out_shape, fill=fill)
-    r2 = affine_warp(img2, inv2, geom.out_shape, fill=fill)
+    r1 = affine_warp(img1, invert_affine(H1), out_shape, fill=fill)
+    r2 = affine_warp(img2, invert_affine(H2), out_shape, fill=fill)
     return r1, r2
+
+
+def rectify_images(geom: RectifiedGeometry, img1: jnp.ndarray, img2: jnp.ndarray,
+                   fill: float = -1.0):
+    """Geometry-object wrapper over :func:`rectify_arrays`."""
+    return rectify_arrays(
+        img1, img2,
+        jnp.asarray(geom.H1, jnp.float32), jnp.asarray(geom.H2, jnp.float32),
+        geom.out_shape, fill=fill,
+    )
+
+
+def triangulate_from_operator(
+    disparity: jnp.ndarray,
+    tri_M: jnp.ndarray,
+    tri_b: jnp.ndarray,
+    row0=0.0,
+):
+    """Dense disparity -> (H, W, 3) local-frame points, given the constant
+    triangulation operator. Convention ``x2 = x1 - d``; ``row0`` offsets the
+    rows for band tiles of a larger canvas. The single shared
+    implementation behind both the geometry API and the pipeline core."""
+    h, w = disparity.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row0
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    x2 = xs - disparity.astype(jnp.float32)
+    obs = jnp.stack([xs, ys, x2, ys], axis=-1)
+    # HIGHEST precision: default (bf16) matmul would cost metres of height.
+    return jnp.einsum("hwk,ck->hwc", obs - tri_b, tri_M,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def triangulation_operator(geom: RectifiedGeometry):
@@ -202,16 +238,8 @@ def triangulate_disparity(
     Returns ``(xyz, height)`` where ``xyz`` is (H, W, 3) in the local metric
     frame and ``height = xyz[..., 2]``.
     """
-    h, w = disparity.shape
-    ys = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
-    xs = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
-    x2 = xs - disparity.astype(jnp.float32)
-    obs = jnp.stack([xs, ys, x2, ys], axis=-1)  # (H, W, 4)
     M, b = triangulation_operator(geom)
-    # HIGHEST precision: default (bf16) matmul would cost metres of height.
-    xyz = jnp.einsum(
-        "hwk,ck->hwc", obs - b, M, precision=jax.lax.Precision.HIGHEST
-    )
+    xyz = triangulate_from_operator(disparity, M, b)
     height = xyz[..., 2]
     if valid is not None:
         height = jnp.where(valid, height, jnp.nan)

@@ -91,17 +91,29 @@ class RPCCamera:
 
     @classmethod
     def from_dict(cls, d: dict) -> "RPCCamera":
-        """Build from a GDAL-style RPC tag dict (LINE_OFF, LINE_NUM_COEFF...)."""
+        """Build from a GDAL-style RPC tag dict (LINE_OFF, LINE_NUM_COEFF...).
+
+        Device fields are float32, but the ORIGINAL float64 values are kept
+        on the instance (outside the pytree) for the host geometry-fitting
+        path: rounding LAT_OFF/LONG_OFF to f32 before ``project_np`` injects
+        a ~0.3 px near-constant per-camera bias at WV3 scale — differential
+        between the two cameras of a pair, i.e. ~1 m of systematic height
+        error, exactly what the float64 host path exists to avoid.
+        """
+        f64: dict = {}
+
         def arr(key):
             v = d[key]
             if isinstance(v, str):
                 v = [float(t) for t in v.split()]
-            return jnp.asarray(np.asarray(v, np.float64), jnp.float32)
+            f64[key] = np.asarray(v, np.float64)
+            return jnp.asarray(f64[key], jnp.float32)
 
         def scal(key):
-            return jnp.float32(float(d[key]))
+            f64[key] = float(d[key])
+            return jnp.float32(f64[key])
 
-        return cls(
+        cam = cls(
             line_off=scal("LINE_OFF"), samp_off=scal("SAMP_OFF"),
             lat_off=scal("LAT_OFF"), long_off=scal("LONG_OFF"),
             height_off=scal("HEIGHT_OFF"), line_scale=scal("LINE_SCALE"),
@@ -110,6 +122,26 @@ class RPCCamera:
             line_num=arr("LINE_NUM_COEFF"), line_den=arr("LINE_DEN_COEFF"),
             samp_num=arr("SAMP_NUM_COEFF"), samp_den=arr("SAMP_DEN_COEFF"),
         )
+        cam._f64 = f64  # plain attribute; not part of the pytree
+        return cam
+
+    _F64_KEYS = {
+        "line_off": "LINE_OFF", "samp_off": "SAMP_OFF", "lat_off": "LAT_OFF",
+        "long_off": "LONG_OFF", "height_off": "HEIGHT_OFF",
+        "line_scale": "LINE_SCALE", "samp_scale": "SAMP_SCALE",
+        "lat_scale": "LAT_SCALE", "long_scale": "LONG_SCALE",
+        "height_scale": "HEIGHT_SCALE", "line_num": "LINE_NUM_COEFF",
+        "line_den": "LINE_DEN_COEFF", "samp_num": "SAMP_NUM_COEFF",
+        "samp_den": "SAMP_DEN_COEFF",
+    }
+
+    def _host(self, field: str):
+        """Float64 value of a field when available (from_dict), else the
+        f32 device value upcast (constructed-by-hand cameras)."""
+        f64 = getattr(self, "_f64", None)
+        if f64 is not None:
+            return f64[self._F64_KEYS[field]]
+        return np.asarray(getattr(self, field), np.float64)
 
     def project(self, lon, lat, h):
         """Forward: geodetic -> (col, row) pixel coordinates. Batched."""
@@ -136,16 +168,16 @@ class RPCCamera:
         lon = np.asarray(lon, np.float64)
         lat = np.asarray(lat, np.float64)
         h = np.asarray(h, np.float64)
-        L = (lon - float(self.long_off)) / float(self.long_scale)
-        P = (lat - float(self.lat_off)) / float(self.lat_scale)
-        H = (h - float(self.height_off)) / float(self.height_scale)
+        L = (lon - self._host("long_off")) / self._host("long_scale")
+        P = (lat - self._host("lat_off")) / self._host("lat_scale")
+        H = (h - self._host("height_off")) / self._host("height_scale")
         m = _monomials_np(L, P, H)
-        row_n = m @ np.asarray(self.line_num, np.float64)
-        row_d = m @ np.asarray(self.line_den, np.float64)
-        col_n = m @ np.asarray(self.samp_num, np.float64)
-        col_d = m @ np.asarray(self.samp_den, np.float64)
-        row = float(self.line_off) + float(self.line_scale) * row_n / row_d
-        col = float(self.samp_off) + float(self.samp_scale) * col_n / col_d
+        row_n = m @ self._host("line_num")
+        row_d = m @ self._host("line_den")
+        col_n = m @ self._host("samp_num")
+        col_d = m @ self._host("samp_den")
+        row = self._host("line_off") + self._host("line_scale") * row_n / row_d
+        col = self._host("samp_off") + self._host("samp_scale") * col_n / col_d
         return col, row
 
     @partial(jax.jit, static_argnames=("iters",))

@@ -31,12 +31,9 @@ TARGET_LAT = -34.490278   # ref constants.py:22
 TARGET_LON = -58.584444   # ref constants.py:23
 
 
-def view_vector(incidence_deg: float, azimuth_deg: float) -> np.ndarray:
-    """ENU unit vector pointing to the satellite (ref ``nitf_utils.py:39-81``):
-    z = cos(inc); east = sin(inc) sin(az); north = sin(inc) cos(az)."""
-    inc = np.radians(incidence_deg)
-    az = np.radians(azimuth_deg)
-    return np.array([np.sin(inc) * np.sin(az), np.sin(inc) * np.cos(az), np.cos(inc)])
+# single implementation of the ENU view-vector convention: pair selection,
+# NITF metadata and scene synthesis must agree on it by construction
+from pcmi_tpu.geometry.pairs import view_vector_np as view_vector  # noqa: E402
 
 
 def make_satellite_camera(

@@ -86,8 +86,17 @@ def shift_rpc(rpc: RPCCamera, window: CropWindow) -> RPCCamera:
     import dataclasses
     import jax.numpy as jnp
 
-    return dataclasses.replace(
+    out = dataclasses.replace(
         rpc,
         samp_off=rpc.samp_off - jnp.float32(window.x_off),
         line_off=rpc.line_off - jnp.float32(window.y_off),
     )
+    # carry the float64 host copies through (dataclasses.replace drops
+    # plain attributes); the shift is exact in f64
+    f64 = getattr(rpc, "_f64", None)
+    if f64 is not None:
+        f64 = dict(f64)
+        f64["SAMP_OFF"] = f64["SAMP_OFF"] - window.x_off
+        f64["LINE_OFF"] = f64["LINE_OFF"] - window.y_off
+        out._f64 = f64
+    return out

@@ -89,14 +89,15 @@ def _box_edge(img: jnp.ndarray, block: int) -> jnp.ndarray:
 
 
 def _shift_pack(right, valid_r, census_r, max_disp):
-    """Pre-pad right-image planes by ``max_disp`` so any signed shift is a
-    dynamic slice (no gathers in the scan body)."""
-    pad = max_disp
+    """Pre-pad right-image planes so any signed shift is a dynamic slice
+    (no gathers in the scan body). The signed search spans
+    [-max_disp/2, max_disp/2), so half the width (+1 slack) suffices."""
+    pad = max_disp // 2 + 1
     rp = jnp.pad(right, ((0, 0), (pad, pad)))
     vp = jnp.pad(valid_r, ((0, 0), (pad, pad)))
     c0 = jnp.pad(census_r[0], ((0, 0), (pad, pad)))
     c1 = jnp.pad(census_r[1], ((0, 0), (pad, pad)))
-    return rp, vp, c0, c1
+    return rp, vp, c0, c1, pad
 
 
 def build_cost_volume(
@@ -111,8 +112,7 @@ def build_cost_volume(
     n_census = cfg.census_window**2 - 1
     census_l = census_transform(left, cfg.census_window)
     census_r = census_transform(right, cfg.census_window)
-    rp, vp, c0p, c1p = _shift_pack(right, valid_r, census_r, cfg.max_disp)
-    pad = cfg.max_disp
+    rp, vp, c0p, c1p, pad = _shift_pack(right, valid_r, census_r, cfg.max_disp)
 
     def step(_, d):
         start = pad - d
@@ -214,19 +214,16 @@ def wta_disparity(vol: jnp.ndarray, d_min: int):
 
 def lr_consistency(
     disp_l: jnp.ndarray, disp_r: jnp.ndarray, thresh: float,
-    d_min: int | None = None, d_max: int | None = None,
+    d_min: int, d_max: int,
 ):
     """|dL(x) - dR(x - dL(x))| <= t (ref ``disparity.py:229-250``).
 
     Gather-free: the per-pixel shift ``x - round(dL)`` is resolved by
-    scanning the *static* disparity range and masking — each step is a
-    dynamic slice of a padded plane (contiguous, fast) instead of a
-    per-pixel gather. Disparities outside [d_min, d_max] fail the check.
+    scanning the *static* disparity range [d_min, d_max] and masking —
+    each step is a dynamic slice of a padded plane (contiguous, fast)
+    instead of a per-pixel gather. Disparities outside the range fail.
     """
     h, w = disp_l.shape
-    if d_min is None or d_max is None:
-        # fall back to a conservative static range derived from the shape
-        raise ValueError("lr_consistency needs the static disparity range")
     pad = max(abs(d_min), abs(d_max)) + 1
     rp = jnp.pad(disp_r, ((0, 0), (pad, pad)),
                  constant_values=jnp.float32(1e9))
@@ -318,15 +315,24 @@ def refine_disparity(
     guided filter, then re-smooths — ``wls_passes`` rounds like the
     reference's two WLS applications (``disparity.py:129-155``).
     """
-    from pcmi_tpu.ops.filters import masked_guided_filter
+    from pcmi_tpu.ops.filters import guided_filter, masked_guided_filter
 
     disp = result.disparity
     valid = result.valid
-    for _ in range(cfg.wls_passes):
-        filled = masked_guided_filter(
-            guide, disp, valid, radius=cfg.gf_radius, eps=cfg.gf_eps
-        )
-        disp = jnp.where(valid, disp, filled)
+    # pass 1: fill low-confidence pixels from confident neighbours
+    filled = masked_guided_filter(
+        guide, disp, valid, radius=cfg.gf_radius, eps=cfg.gf_eps
+    )
+    disp = jnp.where(valid, disp, filled)
+    # passes 2..n: edge-aware smoothing of the FILLED field (confident
+    # pixels are restored afterwards). A second masked fill would be a
+    # fixed point — only re-filtering the whole field does new work, which
+    # is what the reference's second WLS application amounts to
+    # (``disparity.py:129-155``).
+    for _ in range(max(cfg.wls_passes - 1, 0)):
+        smoothed = guided_filter(guide, disp, radius=cfg.gf_radius,
+                                 eps=cfg.gf_eps)
+        disp = jnp.where(valid, disp, smoothed)
     # post-refinement L/R recheck at the relaxed threshold (the reference's
     # second consistency gate after WLS, ``disparity.py:161``): filled
     # pixels that now agree with the right view are re-admitted

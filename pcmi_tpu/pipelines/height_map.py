@@ -38,7 +38,6 @@ from pcmi_tpu.ops.morphology import binary_dilation
 from pcmi_tpu.ops.normalize import normalise_image, percentile_stretch
 from pcmi_tpu.ops.pointcloud import fit_plane, plane_relative_height
 from pcmi_tpu.ops.stereo.matching import compute_disparity, refine_disparity
-from pcmi_tpu.ops.warp import affine_warp, invert_affine
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -77,11 +76,9 @@ def required_max_disp(
     return ((total + 15) // 16) * 16
 
 
-@partial(jax.jit, static_argnames=("out_shape", "fill"))
-def _rectify_pair(img1, img2, H1, H2, out_shape, fill=-1.0):
-    r1 = affine_warp(img1, invert_affine(H1), out_shape, fill=fill)
-    r2 = affine_warp(img2, invert_affine(H2), out_shape, fill=fill)
-    return r1, r2
+# canonical warp implementation lives with the geometry; this alias keeps
+# the established pipeline-internal name
+from pcmi_tpu.geometry.rectify import rectify_arrays as _rectify_pair  # noqa: E402
 
 
 def photoconsistency(left: jnp.ndarray, right: jnp.ndarray,
@@ -114,7 +111,8 @@ def photoconsistency(left: jnp.ndarray, right: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("cfg", "ground_percentile",
-                                   "cap_percentile", "with_plane"))
+                                   "cap_percentile", "with_plane",
+                                   "pre_normalised"))
 def pair_core(
     rect1: jnp.ndarray,
     rect2: jnp.ndarray,
@@ -125,6 +123,7 @@ def pair_core(
     cap_percentile: float = 98.0,
     with_plane: bool = True,
     row0: jnp.ndarray | float = 0.0,
+    pre_normalised: bool = False,
 ) -> PairProduct:
     """The jit-once per-pair compute core on the rectified canvas.
 
@@ -133,11 +132,18 @@ def pair_core(
     sharing a single compiled executable. ``with_plane=False`` skips the
     plane fit and the full-canvas quantile sorts behind ``rel_height`` —
     the fusion pipelines consume only ``xyz``/``valid`` and shouldn't pay
-    for the interactive display product."""
+    for the interactive display product. ``pre_normalised=True`` means the
+    inputs already carry whole-canvas radiometric normalisation (values in
+    [0, 1], invalid = -1); band tiles MUST use it so every band shares one
+    radiometry instead of per-band median/MAD bounds (band-seam hazard)."""
     mask1 = rect1 >= 0
     mask2 = rect2 >= 0
-    n1, _ = normalise_image(rect1, mask1)
-    n2, _ = normalise_image(rect2, mask2)
+    if pre_normalised:
+        n1 = jnp.clip(rect1, 0.0, 1.0)
+        n2 = jnp.clip(rect2, 0.0, 1.0)
+    else:
+        n1, _ = normalise_image(rect1, mask1)
+        n2, _ = normalise_image(rect2, mask2)
 
     # shrink validity away from undefined borders (ref post_process_undefined,
     # processing.py:35-41: binary_dilation of the invalid region x24)
@@ -175,13 +181,10 @@ def pair_core(
     gated_valid = res.valid & speckle_ok & ~band & photo_ok
     res = res._replace(valid=gated_valid)
 
-    # triangulate: obs = (x1, y, x1 - d, y); X = M @ (obs - b)
-    h, w = res.disparity.shape
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row0
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    x2 = xs - res.disparity
-    obs = jnp.stack([xs, ys, x2, ys], axis=-1)
-    xyz = jnp.einsum("hwk,ck->hwc", obs - tri_b, tri_M, precision=HIGHEST)
+    # triangulate via the shared geometry operator
+    from pcmi_tpu.geometry.rectify import triangulate_from_operator
+
+    xyz = triangulate_from_operator(res.disparity, tri_M, tri_b, row0=row0)
 
     valid = res.valid & v1
     height = jnp.where(valid, xyz[..., 2], jnp.nan)
@@ -347,13 +350,20 @@ class HeightMapExtractor(SatellitePlugin):
         if not chosen:
             raise ValueError("no stereo pairs to process")
 
-        layers: List[Layer] = []
-        for i, j in chosen:
-            geom = self.pipeline.build_geometry(
+        geoms = [
+            self.pipeline.build_geometry(
                 rpcs[i], rpcs[j], lon_range, lat_range,
                 images[i].shape, images[j].shape,
             )
-            product = self.pipeline.process_pair(images[i], images[j], geom)
+            for i, j in chosen
+        ]
+        # one stereo config across all chosen pairs: per-pair configs are
+        # static jit args and would force a recompile per pair
+        stereo_cfg = self.pipeline.stereo_cfg_for(geoms)
+        layers: List[Layer] = []
+        for (i, j), geom in zip(chosen, geoms):
+            product = self.pipeline.process_pair(images[i], images[j], geom,
+                                                 stereo_cfg)
             layers.extend(self._product_layers(product, tag=f"{i}-{j}"))
         return layers
 

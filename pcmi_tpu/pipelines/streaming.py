@@ -193,6 +193,15 @@ class StreamingAOIPipeline:
                 jnp.asarray(geom.H1, jnp.float32),
                 jnp.asarray(geom.H2, jnp.float32), geom.out_shape,
             )
+            # normalise ONCE over the whole canvas: per-band median/MAD
+            # bounds would give the same pixel different radiometry in
+            # adjacent bands (seam artifacts in costs and gates)
+            from pcmi_tpu.ops.normalize import normalise_image
+
+            m1 = r1 >= 0
+            m2 = r2 >= 0
+            r1 = jnp.where(m1, normalise_image(r1, m1)[0], -1.0)
+            r2 = jnp.where(m2, normalise_image(r2, m2)[0], -1.0)
             M, b = triangulation_operator(geom)
             pad = halo
             r1p = jnp.pad(r1, ((pad, pad + (-H) % band), (0, 0)),
@@ -208,6 +217,7 @@ class StreamingAOIPipeline:
                     b1, b2, M, b, cfg_s,
                     with_plane=False,  # only xyz/valid feed the DSM
                     row0=jnp.float32(y0 - pad),
+                    pre_normalised=True,
                 )
                 core = slice(pad, pad + band)
                 xyz = prod.xyz[core]
