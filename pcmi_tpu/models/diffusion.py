@@ -322,9 +322,126 @@ class TiledDiffusionEngine:
         """image (H, W, C) in [-1, 1]-ish range; mask (H, W, 1), 1 = hole.
 
         ``method``: ``"dpmpp"`` (DPM-Solver++ 2M, Karras sigmas — reference
-        default) or ``"ddim"``.
+        default) or ``"ddim"``. Canvases smaller than the tile are padded
+        (edge) and cropped back — slicing would otherwise fail.
         """
         h, w = image.shape[:2]
+        ph = max(self.cfg.tile - h, 0)
+        pw = max(self.cfg.tile - w, 0)
+        img = image
+        msk = mask
+        if ph or pw:
+            img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            msk = jnp.pad(msk, ((0, ph), (0, pw), (0, 0)))
         fn = self._sample_dpmpp if method == "dpmpp" else self._sample
-        return fn(params, image, mask, jax.random.PRNGKey(seed),
-                  canvas=(h, w))
+        out = fn(params, img, msk, jax.random.PRNGKey(seed),
+                 canvas=img.shape[:2])
+        return out[:h, :w]
+
+    # ------------------------------------------------------------------
+    # duck-typed generative-engine surface (restore/stitch/enhance),
+    # matching DIPEngine so the processors accept either engine
+    # ------------------------------------------------------------------
+
+    _params = None
+
+    def _ensure_params(self):
+        if self._params is None:
+            import logging
+
+            logging.getLogger("pcmi_tpu").warning(
+                "TiledDiffusionEngine running with freshly-initialised "
+                "weights — train or load a checkpoint for real quality"
+            )
+            self._params = self.init_params(jax.random.PRNGKey(0))
+        return self._params
+
+    def load_params(self, params):
+        self._params = params
+
+    def _duck(self, image, mask, seed=0):
+        from pcmi_tpu.models.dip import DIPResult
+
+        params = self._ensure_params()
+        img = jnp.asarray(image, jnp.float32)
+        squeeze = img.ndim == 2
+        if squeeze:
+            img = img[..., None]
+        if img.shape[-1] != self.cfg.img_channels:
+            img = jnp.repeat(img[..., :1], self.cfg.img_channels, axis=-1)
+        m = jnp.asarray(mask, jnp.float32)
+        m = m[..., None] if m.ndim == 2 else m[..., :1]
+        x = img * 2.0 - 1.0            # processors use [0, 1]
+        out = self.inpaint(params, x, m, seed=seed)
+        out = jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
+        if squeeze:
+            out = out[..., 0]
+        elif out.shape[-1] != jnp.asarray(image).shape[-1]:
+            out = out[..., 0]
+        return DIPResult(output=out, losses=jnp.zeros((0,)))
+
+    restore = _duck
+    stitch = _duck
+
+    def enhance(self, image, mask=None, seed: int = 0, strength: float = 0.3):
+        """img2img: partially noise the whole frame and denoise conditioned
+        on the original (mask channel 0 = 'known' — in-distribution for the
+        trained epsilon model), the diffusion analogue of the reference's
+        full-frame enhancement."""
+        from pcmi_tpu.models.dip import DIPResult
+
+        params = self._ensure_params()
+        img = jnp.asarray(image, jnp.float32)
+        squeeze = img.ndim == 2
+        if squeeze:
+            img = img[..., None]
+        if img.shape[-1] != self.cfg.img_channels:
+            img = jnp.repeat(img[..., :1], self.cfg.img_channels, axis=-1)
+        x = img * 2.0 - 1.0
+        out = self._img2img(params, x, jax.random.PRNGKey(seed),
+                            canvas=x.shape[:2], strength=strength)
+        out = jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
+        if squeeze:
+            out = out[..., 0]
+        return DIPResult(output=out, losses=jnp.zeros((0,)))
+
+    @partial(jax.jit, static_argnames=("self", "canvas", "strength"))
+    def _img2img(self, params, image, key, canvas, strength=0.3):
+        cfg = self.cfg
+        h, w = canvas
+        ph = max(cfg.tile - h, 0)
+        pw = max(cfg.tile - w, 0)
+        if ph or pw:
+            image = jnp.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        hh, ww = image.shape[:2]
+        slice_tiles, blend_tiles = self._tiler((hh, ww))
+        zero_mask = jnp.zeros((hh, ww, 1))
+        cond_full = _cond_stack(cfg, image, zero_mask)
+
+        t0 = int(cfg.train_timesteps * strength)
+        n_steps = max(2, int(cfg.steps * strength))
+        t_steps = jnp.linspace(t0 - 1, 0, n_steps).astype(jnp.int32)
+        k0, kloop = jax.random.split(key)
+        ab0 = self.schedule.alphas_bar[t0 - 1]
+        x = jnp.sqrt(ab0) * image + jnp.sqrt(1 - ab0) * jax.random.normal(
+            k0, image.shape)
+
+        def step(carry, inp):
+            x, k = carry
+            t_cur, t_next = inp
+            ab_t = self.schedule.alphas_bar[t_cur]
+            ab_n = jnp.where(t_next >= 0, self.schedule.alphas_bar[t_next], 1.0)
+            tiles_x = slice_tiles(x)
+            tiles_c = slice_tiles(cond_full)
+            tvec = jnp.full((tiles_x.shape[0],),
+                            t_cur.astype(jnp.float32) / cfg.train_timesteps)
+            eps = blend_tiles(self.model.apply(params, tiles_x, tvec, tiles_c))
+            x0 = jnp.clip((x - jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(ab_t),
+                          -2.0, 2.0)
+            x = jnp.sqrt(ab_n) * x0 + jnp.sqrt(1 - ab_n) * eps
+            return (x, k), None
+
+        pairs = jnp.stack(
+            [t_steps, jnp.concatenate([t_steps[1:], jnp.array([-1])])], axis=1)
+        (x, _), _ = jax.lax.scan(step, (x, kloop), pairs)
+        return x[:h, :w]

@@ -72,23 +72,73 @@ class DIPEngine:
         out = self.model.apply(params, z0)[0]
         return out, losses
 
-    def restore(self, image: jnp.ndarray, mask: jnp.ndarray,
-                seed: int = 0) -> DIPResult:
-        """``mask`` 1 = hole. Returns the DIP reconstruction composited so
-        known pixels keep their original values."""
+    def _prep(self, image, mask):
+        """Channelise + pad to the U-Net stride + optional max_size downscale.
+
+        Returns device arrays plus the recipe to undo: U-Net decoders
+        require H, W divisible by 2^(levels-1); the reference caps work at
+        ``max_size`` px (``deep_image_prior.py:105-110``)."""
         img = jnp.asarray(image, jnp.float32)
-        if img.ndim == 2:
+        squeeze = img.ndim == 2
+        if squeeze:
             img = img[..., None]
         m = jnp.asarray(mask, jnp.float32)
         if m.ndim == 3:
             m = m[..., 0]
+        h0, w0 = img.shape[:2]
+        scale = max(h0, w0) / self.cfg.max_size
+        if scale > 1.0:
+            h1 = int(round(h0 / scale))
+            w1 = int(round(w0 / scale))
+            img = jax.image.resize(img, (h1, w1, img.shape[-1]), "linear")
+            m = (jax.image.resize(m, (h1, w1), "linear") > 0.25).astype(jnp.float32)
+        stride = 2 ** (len(self.model.widths) - 1)
+        ph = (-img.shape[0]) % stride
+        pw = (-img.shape[1]) % stride
+        if ph or pw:
+            img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            m = jnp.pad(m, ((0, ph), (0, pw)))
+        return img, m, (h0, w0), squeeze
+
+    def _finish(self, out, orig_image, mask_full, size, squeeze):
+        h0, w0 = size
+        if out.shape[:2] != (h0, w0):
+            out = jax.image.resize(out, (h0, w0, out.shape[-1]), "linear")
+        img = jnp.asarray(orig_image, jnp.float32)
+        if squeeze:
+            img = img[..., None]
+        m = jnp.asarray(mask_full, jnp.float32)
+        if m.ndim == 3:
+            m = m[..., 0]
+        comp = jnp.where((m < 0.5)[..., None], img, out)
+        if squeeze:
+            comp = comp[..., 0]
+        return comp
+
+    def restore(self, image: jnp.ndarray, mask: jnp.ndarray,
+                seed: int = 0) -> DIPResult:
+        """``mask`` 1 = hole. Returns the DIP reconstruction composited so
+        known pixels keep their original values."""
+        img, m, size, squeeze = self._prep(image, mask)
         known = (m < 0.5)
         out, losses = self._run(img, known, jax.random.PRNGKey(seed))
-        comp = jnp.where(known[..., None], img, out)
-        if image.ndim == 2:
-            comp = comp[..., 0]
+        comp = self._finish(out, image, mask, size, squeeze)
         return DIPResult(output=comp, losses=losses)
 
-    # the reference engine exposes the same entry for all three tasks
+    # stitching = restoring the composite's gap: same semantics
     stitch = restore
-    enhance = restore
+
+    def enhance(self, image: jnp.ndarray, mask=None, seed: int = 0) -> DIPResult:
+        """Fit DIP to the WHOLE image and return the network's reconstruction
+        (the prior acts as the enhancer). An all-hole mask here would train
+        on zero loss and return init noise — every pixel must be known."""
+        img, _, size, squeeze = self._prep(
+            image, jnp.zeros(jnp.asarray(image).shape[:2]))
+        known = jnp.ones(img.shape[:2], bool)
+        out, losses = self._run(img, known, jax.random.PRNGKey(seed))
+        h0, w0 = size
+        if out.shape[:2] != (h0, w0):
+            out = jax.image.resize(out, (h0, w0, out.shape[-1]), "linear")
+        if squeeze:
+            out = out[..., 0]
+        return DIPResult(output=out, losses=losses)

@@ -85,27 +85,19 @@ class InpaintGANTrainer:
             step=jnp.int32(0),
         )
 
-    def _corrupt(self, images, mask, key):
-        """Blur-fill the hole (reference corrupts with a blurred fill)."""
-        blur = jax.image.resize(
-            jax.image.resize(images, (images.shape[0], images.shape[1] // 8,
-                                      images.shape[2] // 8, images.shape[3]),
-                             "linear"),
-            images.shape, "linear",
-        )
-        noise = 0.05 * jax.random.normal(key, images.shape)
-        return images * (1 - mask) + (blur + noise) * mask
-
     @partial(jax.jit, static_argnames=("self",))
     def train_step(self, state: GANState, images: jnp.ndarray,
                    key: jax.Array) -> Tuple[GANState, dict]:
         cfg = self.cfg
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        km, kc, kz = jax.random.split(key, 3)
+        km, kz = jax.random.split(key, 2)
         b, h, w, _ = images.shape
         mask = random_hole_masks(km, (b, h, w), cfg.mask_seeds, cfg.mask_steps)
-        corrupted = self._corrupt(images, mask, kc)
-        inp = jnp.concatenate([corrupted, mask], axis=-1)
+        # generator conditioning = zero-filled hole + mask, EXACTLY what
+        # inference feeds (``infer``/``InpaintingPlugin``): training on a
+        # blur-filled hole the serving path never provides is a systematic
+        # train/inference distribution shift
+        inp = jnp.concatenate([images * (1 - mask), mask], axis=-1)
 
         def g_forward(params):
             return self.gen.apply(params, inp.astype(dt)).astype(jnp.float32)

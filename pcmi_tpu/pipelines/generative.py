@@ -44,7 +44,10 @@ def diffusion_prefill(image: jnp.ndarray, mask: jnp.ndarray, iters: int = 128):
         m3 = m[..., None]
     else:
         m3 = m
-    init = img * (1.0 - m3) + jnp.mean(img * (1.0 - m3)) * m3
+    # seed the hole with the mean of the KNOWN pixels (dividing the masked
+    # sum by H*W would bias large holes toward 0)
+    known_mean = jnp.sum(img * (1.0 - m3)) / jnp.maximum(jnp.sum(1.0 - m3), 1.0)
+    init = img * (1.0 - m3) + known_mean * m3
 
     def body(_, x):
         blur = gaussian_filter(x, 1.5, radius=2)
@@ -137,8 +140,10 @@ class EnhancementProcessor:
 
     def process(self, image: np.ndarray):
         img = jnp.asarray(np.asarray(image, np.float32))
-        mask = jnp.ones(img.shape[:2], jnp.float32)
-        out = self.engine.enhance(img, mask).output
+        # the engine's enhance() fits the WHOLE (known) image and returns
+        # its prior-regularised reconstruction — an all-hole mask would
+        # mean "nothing known" and train on zero loss
+        out = self.engine.enhance(img).output
         hf = img - gaussian_filter(img, self.hf_sigma)
         return np.asarray(jnp.clip(out + self.hf_weight * hf, 0.0, 1.0))
 
@@ -171,7 +176,11 @@ class RestorationGenerativePlugin(SatellitePlugin):
         return "Generative Restoration"
 
     def run(self, image: np.ndarray, viewer=None) -> List[Layer]:
-        restored = self.processor.process(image)
+        img = np.asarray(image, np.float32)
+        # [0,1] convention at the engine boundary: DIP's sigmoid head cannot
+        # express 0-255 values (same scale rule as the other plugins)
+        scale = img.max() if np.isfinite(img).any() and np.nanmax(img) > 1.5 else 1.0
+        restored = self.processor.process(img / scale) * scale
         return [
             (image, {"name": "input"}, "image"),
             (restored, {"name": "restored"}, "image"),

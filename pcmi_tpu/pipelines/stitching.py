@@ -170,18 +170,49 @@ def ncc_match(
 # ---------------------------------------------------------------------------
 
 
-def _dlt(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+def _norm_transform(pts: jnp.ndarray, weights: jnp.ndarray | None = None):
+    """Hartley normalisation: similarity T mapping points to mean 0 /
+    RMS sqrt(2). Raw-pixel DLT mixes O(1) and O(coord^2) terms and loses
+    most float32 significant digits on large frames."""
+    w = jnp.ones(pts.shape[0]) if weights is None else weights
+    wsum = jnp.maximum(jnp.sum(w), 1e-6)
+    mu = jnp.sum(pts * w[:, None], axis=0) / wsum
+    rms = jnp.sqrt(jnp.sum(w * jnp.sum((pts - mu) ** 2, axis=1)) / wsum)
+    s = jnp.sqrt(2.0) / jnp.maximum(rms, 1e-6)
+    # (y, x) points; T acts on homogeneous (x, y, 1)
+    T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    T = T.at[0, 0].set(s).at[1, 1].set(s)
+    T = T.at[0, 2].set(-s * mu[1]).at[1, 2].set(-s * mu[0])
+    return T, mu, s
+
+
+def _apply_norm(pts: jnp.ndarray, mu: jnp.ndarray, s: jnp.ndarray):
+    return (pts - mu) * s
+
+
+def _dlt(p1: jnp.ndarray, p2: jnp.ndarray,
+         weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Homography p1 -> p2 from N>=4 correspondences ((y,x) order in, (x,y)
-    math inside) via SVD of the 2N x 9 DLT system."""
-    x1 = p1[:, 1]; y1 = p1[:, 0]
-    x2 = p2[:, 1]; y2 = p2[:, 0]
+    math inside) via SVD of the 2N x 9 DLT system, Hartley-normalised."""
+    T1, mu1, s1 = _norm_transform(p1, weights)
+    T2, mu2, s2 = _norm_transform(p2, weights)
+    p1n = _apply_norm(p1, mu1, s1)
+    p2n = _apply_norm(p2, mu2, s2)
+    x1 = p1n[:, 1]; y1 = p1n[:, 0]
+    x2 = p2n[:, 1]; y2 = p2n[:, 0]
     z = jnp.zeros_like(x1)
     o = jnp.ones_like(x1)
     r1 = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], axis=1)
     r2 = jnp.stack([z, z, z, x1, y1, o, -y2 * x1, -y2 * y1, -y2], axis=1)
+    if weights is not None:
+        r1 = r1 * weights[:, None]
+        r2 = r2 * weights[:, None]
     A = jnp.concatenate([r1, r2], axis=0)
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    Hm = vt[-1].reshape(3, 3)
+    Hn = vt[-1].reshape(3, 3)
+    # denormalise: H = T2^-1 Hn T1 (T acts in (x, y) homogeneous coords)
+    T2inv = jnp.linalg.inv(T2)
+    Hm = T2inv @ Hn @ T1
     return Hm / jnp.where(jnp.abs(Hm[2, 2]) > 1e-12, Hm[2, 2], 1e-12)
 
 
@@ -222,18 +253,23 @@ def ransac_homography(
     err = jnp.linalg.norm(_project(Hm, pts1) - pts2, axis=1)
     inliers = (err < thresh) & (weights > 0)
 
-    # final refit on all inliers (weighted DLT via zeroing non-inlier rows)
-    wts = inliers.astype(jnp.float32)
-    x1 = pts1[:, 1]; y1 = pts1[:, 0]
-    x2 = pts2[:, 1]; y2 = pts2[:, 0]
-    z = jnp.zeros_like(x1); o = jnp.ones_like(x1)
-    r1 = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], axis=1)
-    r2 = jnp.stack([z, z, z, x1, y1, o, -y2 * x1, -y2 * y1, -y2], axis=1)
-    A = jnp.concatenate([r1 * wts[:, None], r2 * wts[:, None]], axis=0)
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    Hr = vt[-1].reshape(3, 3)
-    Hr = Hr / jnp.where(jnp.abs(Hr[2, 2]) > 1e-12, Hr[2, 2], 1e-12)
+    # final refit on all inliers (weighted, Hartley-normalised DLT)
+    Hr = _dlt(pts1, pts2, weights=inliers.astype(jnp.float32))
     return Hr, inliers
+
+
+def affine_fit(p1: jnp.ndarray, p2: jnp.ndarray, weights: jnp.ndarray):
+    """Weighted 6-dof affine p1 -> p2 as a 3x3 homography (last row 0,0,1).
+
+    The stable model for thin overlap strips, where a full homography's
+    perspective terms are unconstrained and can go wild."""
+    w = weights[:, None]
+    X = jnp.concatenate([p1[:, 1:2], p1[:, 0:1], jnp.ones_like(w)], axis=1)
+    sol, *_ = jnp.linalg.lstsq(X * w, jnp.stack([p2[:, 1], p2[:, 0]], 1) * w)
+    Hm = jnp.eye(3)
+    Hm = Hm.at[0, :].set(jnp.array([sol[0, 0], sol[1, 0], sol[2, 0]]))
+    Hm = Hm.at[1, :].set(jnp.array([sol[0, 1], sol[1, 1], sol[2, 1]]))
+    return Hm
 
 
 # ---------------------------------------------------------------------------
@@ -303,32 +339,62 @@ class ImageStitcher:
         pts2, score = ncc_match(img1, img2, pts1, dy, dx,
                                 patch=self.patch, search=self.search)
         wts = jnp.where(score > 0.5, score, 0.0)
-        Hm, inl = ransac_homography(
-            pts1.astype(jnp.float32), pts2.astype(jnp.float32), wts, key,
-            thresh=self.ransac_thresh,
-        )
-        return Hm, inl
+        p1f = pts1.astype(jnp.float32)
+        p2f = pts2.astype(jnp.float32)
+        Hm, inl = ransac_homography(p1f, p2f, wts, key,
+                                    thresh=self.ransac_thresh)
+        return Hm, inl, p1f, p2f
 
-    def stitch(self, img1: jnp.ndarray, img2: jnp.ndarray, key=None) -> StitchResult:
+    def stitch(self, img1: jnp.ndarray, img2: jnp.ndarray, key=None,
+               min_inliers: int = 8) -> StitchResult:
         img1 = jnp.asarray(img1, jnp.float32)
         img2 = jnp.asarray(img2, jnp.float32)
-        Hm, inl = self.estimate(img1, img2, key)
+        Hm, inl, p1f, p2f = self.estimate(img1, img2, key)
 
-        # canvas bounds: project img2 corners into img1 frame (host math,
-        # mirrors ref core.py:250-273)
+        # match-quality guard (cv2.findHomography returns None in the same
+        # situation, which the reference handles): without enough inliers
+        # the homography is garbage and the canvas below can explode
+        n_inl = int(jnp.sum(inl))
+        if n_inl < min_inliers:
+            raise ValueError(
+                f"stitching failed: only {n_inl} consistent matches "
+                f"(need >= {min_inliers}) — do the images overlap?"
+            )
+
         h1, w1 = img1.shape
         h2, w2 = img2.shape
+
+        def canvas_of(Hn):
+            if not np.isfinite(Hn).all() or abs(np.linalg.det(Hn)) < 1e-9:
+                return None
+            Hinv = np.linalg.inv(Hn)
+            corners = np.array(
+                [[0, 0], [0, w2 - 1], [h2 - 1, 0], [h2 - 1, w2 - 1]],
+                np.float32)
+            proj = np.asarray(_project(jnp.asarray(Hinv, jnp.float32),
+                                       jnp.asarray(corners)))
+            y0 = int(np.floor(min(0.0, proj[:, 0].min())))
+            x0 = int(np.floor(min(0.0, proj[:, 1].min())))
+            y1 = int(np.ceil(max(h1 - 1.0, proj[:, 0].max()))) + 1
+            x1 = int(np.ceil(max(w1 - 1.0, proj[:, 1].max()))) + 1
+            ch, cw = y1 - y0, x1 - x0
+            if ch * cw > 16 * (h1 * w1 + h2 * w2):
+                return None  # wild perspective -> multi-GB canvas
+            return Hinv, y0, x0, ch, cw
+
+        # canvas bounds: project img2 corners into img1 frame (host math,
+        # mirrors ref core.py:250-273). Thin overlap strips underconstrain
+        # the perspective terms; fall back to the 6-dof affine fit when the
+        # full homography goes wild.
+        bounds = canvas_of(np.asarray(Hm))
+        if bounds is None:
+            Hm = affine_fit(p1f, p2f, inl.astype(jnp.float32))
+            bounds = canvas_of(np.asarray(Hm))
+        if bounds is None:
+            raise ValueError("stitching failed: degenerate geometry even "
+                             "under the affine fallback")
+        Hinv, y0, x0, ch, cw = bounds
         Hn = np.asarray(Hm)
-        Hinv = np.linalg.inv(Hn)
-        corners = np.array([[0, 0], [0, w2 - 1], [h2 - 1, 0], [h2 - 1, w2 - 1]],
-                           np.float32)
-        proj = np.asarray(_project(jnp.asarray(Hinv, jnp.float32),
-                                   jnp.asarray(corners)))
-        y0 = int(np.floor(min(0.0, proj[:, 0].min())))
-        x0 = int(np.floor(min(0.0, proj[:, 1].min())))
-        y1 = int(np.ceil(max(h1 - 1.0, proj[:, 0].max()))) + 1
-        x1 = int(np.ceil(max(w1 - 1.0, proj[:, 1].max()))) + 1
-        ch, cw = y1 - y0, x1 - x0
 
         # warp both onto the canvas (translation for img1; H∘T for img2)
         T = np.array([[1.0, 0, y0], [0, 1, x0], [0, 0, 1]])  # canvas->img1 (y,x)

@@ -24,6 +24,18 @@ from pcmi_tpu.models.unet import InpaintUNet, SRUNet, bicubic_upsample
 from pcmi_tpu.ops.morphology import binary_dilation
 
 
+def _pad_to_multiple(arr: np.ndarray, m: int):
+    """Edge-pad H, W to multiples of ``m`` (U-Net decoders need it);
+    returns (padded, (h0, w0)) for cropping back."""
+    h0, w0 = arr.shape[:2]
+    ph = (-h0) % m
+    pw = (-w0) % m
+    if ph or pw:
+        widths = [(0, ph), (0, pw)] + [(0, 0)] * (arr.ndim - 2)
+        arr = np.pad(arr, widths, mode="edge")
+    return arr, (h0, w0)
+
+
 def create_inpaint_mask(image: np.ndarray, thresh: float = 1.0 / 255.0,
                         margin: int = 2) -> np.ndarray:
     """Near-black hole detection (ref ``create_inpaint_mask``
@@ -68,14 +80,19 @@ class SuperResolutionPlugin(SatellitePlugin):
         x = img / scale
         if x.ndim == 2:
             x = np.stack([x] * 3, -1)
+        # SRUNet has 2 downsamples: the 4x-upsampled frame needs H, W % 4 == 0,
+        # i.e. the LR frame padded to even dims
+        x, (h0, w0) = _pad_to_multiple(x, 2)
         lr = jnp.asarray(x)[None]
         up = bicubic_upsample(lr, self.factor)
         sr = self.model.apply(self._params_for(up), up)
+        f = self.factor
+        up_np = np.asarray(up[0])[: h0 * f, : w0 * f]
+        sr_np = np.asarray(sr[0])[: h0 * f, : w0 * f]
         return [
             (image, {"name": "low-res input"}, "image"),
-            (np.asarray(up[0]) * scale, {"name": "bicubic 4x"}, "image"),
-            (np.clip(np.asarray(sr[0]), 0, 1) * scale, {"name": "super-res 4x"},
-             "image"),
+            (up_np * scale, {"name": "bicubic 4x"}, "image"),
+            (np.clip(sr_np, 0, 1) * scale, {"name": "super-res 4x"}, "image"),
         ]
 
 
@@ -100,7 +117,10 @@ class InpaintingPlugin(SatellitePlugin):
             x = np.stack([x] * 3, -1)
         if mask is None:
             mask = create_inpaint_mask(img)
-        m = jnp.asarray(mask, jnp.float32)[None, ..., None]
+        # InpaintUNet has 3 downsamples -> H, W must be multiples of 8
+        x, (h0, w0) = _pad_to_multiple(x, 8)
+        mask_p, _ = _pad_to_multiple(np.asarray(mask, np.float32), 8)
+        m = jnp.asarray(mask_p, jnp.float32)[None, ..., None]
         rgb = jnp.asarray(x)[None]
         inp = jnp.concatenate([rgb * (1 - m), m], axis=-1)
         if self.params is None:
@@ -116,6 +136,6 @@ class InpaintingPlugin(SatellitePlugin):
             (image, {"name": "input"}, "image"),
             (np.asarray(mask).astype(np.uint8),
              {"name": "hole mask", "opacity": 0.4}, "image"),
-            (np.clip(np.asarray(out[0]), 0, 1) * scale,
+            (np.clip(np.asarray(out[0])[:h0, :w0], 0, 1) * scale,
              {"name": "inpainted"}, "image"),
         ]

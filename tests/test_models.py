@@ -104,7 +104,9 @@ def test_inpaint_gan_overfits_single_image(rng):
     )[None]
     state = trainer.init(jax.random.PRNGKey(0), img)
     losses = []
-    for i in range(60):
+    # zero-fill conditioning (inference parity) is a harder task than the
+    # old blur-fill; a few more steps show the same convergence
+    for i in range(100):
         state, metrics = trainer.train_step(state, img, jax.random.PRNGKey(i))
         losses.append(float(metrics["rec"]))
     assert np.mean(losses[-10:]) < 0.7 * np.mean(losses[:10])
