@@ -31,12 +31,17 @@ def _load_image(path: str) -> np.ndarray:
 
 
 def _save_layers(layers, outdir: str) -> list:
+    import re
+
     from pcmi_tpu.io.raster import write_tiff
 
     os.makedirs(outdir, exist_ok=True)
     written = []
     for data, params, kind in layers:
-        name = str(params.get("name", kind)).replace(" ", "_")
+        # sanitise: error-layer names embed exception text, which routinely
+        # contains '/' and other path-hostile characters
+        name = re.sub(r"[^A-Za-z0-9._-]+", "_",
+                      str(params.get("name", kind)))[:128] or kind
         arr = np.asarray(data)
         if kind in ("image", "labels") and arr.ndim in (2, 3):
             path = os.path.join(outdir, f"{name}.tif")
@@ -60,15 +65,55 @@ def _parse_overrides(pairs):
     return out
 
 
+_DEMO_VIEWS = ((10.0, 80.0), (20.0, 250.0), (16.0, 170.0))
+
+
 def _demo_scene(cfg):
     from pcmi_tpu.geometry.synthetic import aoi_lonlat_ranges, make_stereo_scene
 
     scene = make_stereo_scene(
         seed=1, out_shape=(512, 512), ground_shape=(640, 640),
         h_range=cfg.rectify.height_range,
-        views=((10.0, 80.0), (20.0, 250.0), (16.0, 170.0)),
+        views=_DEMO_VIEWS,
     )
     return scene, aoi_lonlat_ranges(scene)
+
+
+def _load_stack(args, cfg):
+    """Shared --images/--demo dispatch for fuse/stream.
+
+    Returns ``(images, rpcs, metas, lon_r, lat_r)`` or ``None`` after
+    printing a usage/diagnostic message (caller exits 2).
+    """
+    from pcmi_tpu.geometry.pairs import ImageMeta
+
+    if getattr(args, "images", None):
+        if not getattr(args, "kml", None):
+            print("--images requires --kml AOI", file=sys.stderr)
+            return None
+        from pcmi_tpu.pipelines.ingest import (
+            discover_acquisitions,
+            prepare_aoi_stack,
+        )
+
+        acqs = discover_acquisitions(args.images)
+        if not acqs:
+            print(f"no usable acquisitions in {args.images}", file=sys.stderr)
+            return None
+        images, rpcs, metas, lon_r, lat_r = prepare_aoi_stack(
+            acqs, kml_path=args.kml)
+        if len(images) < 2:
+            print("fewer than two acquisitions intersect the AOI",
+                  file=sys.stderr)
+            return None
+        return images, rpcs, metas, lon_r, lat_r
+    if args.demo:
+        scene, (lon_r, lat_r) = _demo_scene(cfg)
+        metas = [ImageMeta(i, inc, az, date=30.0 * i)
+                 for i, (inc, az) in enumerate(_DEMO_VIEWS)]
+        return scene.images, scene.rpcs, metas, lon_r, lat_r
+    print("need --demo or --images DIR --kml FILE", file=sys.stderr)
+    return None
 
 
 def cmd_list(args) -> int:
@@ -96,6 +141,7 @@ def cmd_run(args) -> int:
     kwargs = {}
     if args.input2:
         kwargs["image2"] = _load_image(args.input2)
+    failed = False
     try:
         layers = plugin.run(image, **kwargs)
     except Exception as exc:  # degrade like the reference's error layer
@@ -103,9 +149,12 @@ def cmd_run(args) -> int:
         layers = [(np.zeros((8, 8), np.float32),
                    {"name": f"ERROR {plugin.name}: {exc}"}, "image")]
         print(f"error: {exc}", file=sys.stderr)
+        failed = True
     for path in _save_layers(layers, args.output):
         print(path)
-    return 0
+    # a placeholder layer is NOT a product: headless callers need the
+    # failure in the exit status
+    return 1 if failed else 0
 
 
 def cmd_height_map(args) -> int:
@@ -148,28 +197,10 @@ def cmd_fuse(args) -> int:
     from pcmi_tpu.pipelines.multiday import MultiDayFusion
 
     cfg = from_flat_overrides(PipelineConfig(), _parse_overrides(args.set))
-    if getattr(args, "images", None):
-        from pcmi_tpu.pipelines.ingest import (
-            discover_acquisitions,
-            prepare_aoi_stack,
-        )
-
-        acqs = discover_acquisitions(args.images)
-        if not acqs:
-            print(f"no usable acquisitions in {args.images}", file=sys.stderr)
-            return 2
-        images, rpcs, metas, lon_r, lat_r = prepare_aoi_stack(
-            acqs, kml_path=args.kml)
-        scene = None
-    elif args.demo:
-        scene, (lon_r, lat_r) = _demo_scene(cfg)
-        views = [(10.0, 80.0), (20.0, 250.0), (16.0, 170.0)]
-        metas = [ImageMeta(i, inc, az, date=30.0 * i)
-                 for i, (inc, az) in enumerate(views)]
-        images, rpcs = scene.images, scene.rpcs
-    else:
-        print("need --demo or --images DIR --kml FILE", file=sys.stderr)
+    stack = _load_stack(args, cfg)
+    if stack is None:
         return 2
+    images, rpcs, metas, lon_r, lat_r = stack
     fusion = MultiDayFusion(cfg)
     fused = fusion.run(images, rpcs, metas, lon_r, lat_r,
                        points_per_pair=1 << 16, with_kmeans=True,
@@ -210,24 +241,10 @@ def cmd_stream(args) -> int:
     from pcmi_tpu.pipelines.streaming import StreamingAOIPipeline
 
     cfg = from_flat_overrides(PipelineConfig(), _parse_overrides(args.set))
-    if getattr(args, "images", None):
-        from pcmi_tpu.pipelines.ingest import (
-            discover_acquisitions,
-            prepare_aoi_stack,
-        )
-
-        acqs = discover_acquisitions(args.images)
-        images, rpcs, metas, lon_r, lat_r = prepare_aoi_stack(
-            acqs, kml_path=args.kml)
-    elif args.demo:
-        scene, (lon_r, lat_r) = _demo_scene(cfg)
-        views = [(10.0, 80.0), (20.0, 250.0), (16.0, 170.0)]
-        metas = [ImageMeta(i, inc, az, date=30.0 * i)
-                 for i, (inc, az) in enumerate(views)]
-        images, rpcs = scene.images, scene.rpcs
-    else:
-        print("need --demo or --images DIR --kml FILE", file=sys.stderr)
+    stack = _load_stack(args, cfg)
+    if stack is None:
         return 2
+    images, rpcs, metas, lon_r, lat_r = stack
     out = StreamingAOIPipeline(cfg).run(images, rpcs, metas, lon_r, lat_r,
                                         grid_cell=1.0)
     os.makedirs(args.output, exist_ok=True)
@@ -246,9 +263,22 @@ def cmd_stream(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench  # repo-root bench.py
+    # bench.py lives at the repo root (the driver contract), which is only
+    # importable when cwd happens to be the root — load it by path instead
+    import importlib.util
 
-    bench.main()
+    import pcmi_tpu
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(pcmi_tpu.__file__)))
+    path = os.path.join(root, "bench.py")
+    if not os.path.exists(path):
+        print(f"bench.py not found at {path} (source checkout required)",
+              file=sys.stderr)
+        return 2
+    spec = importlib.util.spec_from_file_location("pcmi_bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
     return 0
 
 

@@ -90,11 +90,16 @@ def native_error() -> Optional[str]:
 
 
 def _dtype_of(bits: int, fmt: int) -> np.dtype:
-    if fmt == 3:
-        return np.dtype({32: np.float32, 64: np.float64}[bits])
-    if fmt == 2:
-        return np.dtype({8: np.int8, 16: np.int16, 32: np.int32}[bits])
-    return np.dtype({8: np.uint8, 16: np.uint16, 32: np.uint32}[bits])
+    table = {
+        (3, 32): np.float32, (3, 64): np.float64,
+        (2, 8): np.int8, (2, 16): np.int16, (2, 32): np.int32,
+        (1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
+    }
+    dt = table.get((fmt, bits))
+    if dt is None:
+        # ValueError (not KeyError) so read_tiff_fast's fallback catches it
+        raise ValueError(f"unsupported TIFF sample type: {bits}-bit fmt={fmt}")
+    return np.dtype(dt)
 
 
 class NativeRaster:
@@ -156,9 +161,16 @@ class TileLoader:
             raise RuntimeError(f"native io unavailable: {_lib_error}")
         self._lib = lib
         self.tile = tile
-        self.rasters = [NativeRaster(p) for p in paths]
-        for r in self.rasters:
-            r.close()  # metadata only; loader reopens internally
+        self.rasters = []
+        try:
+            for p in paths:
+                self.rasters.append(NativeRaster(p))
+        finally:
+            # metadata captured; loader reopens internally. Close in a
+            # finally so a failing path doesn't leak the mmaps/fds of the
+            # rasters already opened.
+            for r in self.rasters:
+                r.close()
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
         self._h = lib.pcmi_loader_create(
             arr, len(paths), tile, cache_mb << 20, threads)

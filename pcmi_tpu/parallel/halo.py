@@ -17,7 +17,6 @@ not W.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
@@ -34,6 +33,8 @@ def halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str = TILE_AXIS):
     Returns ``(h_local + 2*halo, W[, C])``. Missing neighbours (first/last
     band) contribute zeros.
     """
+    if halo == 0:
+        return x  # x[-0:] would be the WHOLE band, not an empty slice
     if x.shape[0] < halo:
         raise ValueError(
             f"halo ({halo}) exceeds the local row band ({x.shape[0]}); use "
@@ -52,7 +53,6 @@ def sharded_rows_map(
     fn: Callable,
     mesh: Mesh,
     halo: int,
-    n_outputs: int = 1,
 ):
     """Wrap ``fn(*local_arrays) -> arrays`` into a halo-exchanged shard_map.
 
@@ -66,7 +66,8 @@ def sharded_rows_map(
         extended = [halo_exchange_rows(a, halo) for a in arrays]
         out = fn(*extended)
         outs = out if isinstance(out, tuple) else (out,)
-        cropped = tuple(o[halo:-halo] for o in outs)
+        # explicit end index: [halo:-halo] is empty when halo == 0
+        cropped = tuple(o[halo: o.shape[0] - halo] for o in outs)
         return cropped if len(cropped) > 1 else cropped[0]
 
     def per_shard(*stacks):
@@ -76,13 +77,3 @@ def sharded_rows_map(
     # input / output leaf
     spec = P(DATA_AXIS, TILE_AXIS, None)
     return jax.shard_map(per_shard, mesh=mesh, in_specs=spec, out_specs=spec)
-
-
-@partial(jax.jit, static_argnames=("bands",))
-def split_rows(x: jnp.ndarray, bands: int) -> jnp.ndarray:
-    """Host helper: pad H to a multiple of ``bands`` (edge rows replicate)."""
-    h = x.shape[0]
-    pad = (-h) % bands
-    if pad:
-        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-    return x

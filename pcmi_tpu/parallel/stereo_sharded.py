@@ -72,7 +72,8 @@ def sharded_disparity(
             ve = halo_exchange_rows(a.astype(jnp.float32), h) > 0.5
             we = halo_exchange_rows(b.astype(jnp.float32), h) > 0.5
             disp, valid = one_pair(le, re_, ve, we)
-            return disp[h:-h], valid[h:-h]
+            # explicit end index: [h:-h] is empty when h == 0
+            return disp[h: disp.shape[0] - h], valid[h: valid.shape[0] - h]
 
         return jax.vmap(single)(left, right, vl, vr)
 

@@ -23,6 +23,17 @@ logger = logging.getLogger("pcmi_tpu")
 _STATS: Dict[str, list] = defaultdict(list)
 
 
+def _device_sync() -> None:
+    """True device barrier: fetch a trivial scalar enqueued AFTER pending
+    work. Per-device in-order execution makes the fetch wait for everything
+    queued before it — unlike ``jax.effects_barrier`` (drains effect tokens
+    only) or, on some transports, even ``block_until_ready``."""
+    try:
+        float(jax.jit(lambda: jax.numpy.float32(0))())
+    except Exception:
+        pass
+
+
 @contextlib.contextmanager
 def scope(name: str, sync: bool = True, log: bool = False):
     """Time a block; ``sync=True`` blocks on outstanding device work so the
@@ -32,10 +43,7 @@ def scope(name: str, sync: bool = True, log: bool = False):
         yield
     finally:
         if sync:
-            try:
-                jax.effects_barrier()
-            except Exception:
-                pass
+            _device_sync()
         dt = time.perf_counter() - t0
         _STATS[name].append(dt)
         if log:

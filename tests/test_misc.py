@@ -82,12 +82,16 @@ def test_cli_error_degrades(tmp_path, rng, capsys):
 
     src = str(tmp_path / "x.tif")
     write_tiff(src, rng.uniform(0, 1, (32, 32)).astype(np.float32))
-    # stitching without image2 raises inside run() -> error layer, exit 0
+    # stitching without image2 raises inside run() -> error layer written,
+    # but the headless exit status reports the failure
     rc = cli_main(["run", "stitching", "--input", src,
                    "--output", str(tmp_path / "o")])
-    assert rc == 0
+    assert rc == 1
     err = capsys.readouterr().err
     assert "error" in err.lower()
+    import os
+
+    assert any(f.startswith("ERROR") for f in os.listdir(tmp_path / "o"))
     rc = cli_main(["run", "nope", "--input", src])
     assert rc == 2
 
