@@ -112,6 +112,14 @@ def main():
     err = np.asarray(product.height)[m] - tt[m]
     rmse = float(np.sqrt(np.mean(err**2))) if m.any() else float("nan")
 
+    # Completeness: fraction of the OBSERVABLE canvas (pixels where both
+    # rectified images carry data — the epipolar-rotated footprints cover
+    # only ~30% of their padded bounding canvas) that yields a valid height.
+    # The reference likewise produces height only over the non-margin
+    # data region of the rectified frame (``disparity.py:182-204``).
+    observable = (np.asarray(r1) >= 0) & (np.asarray(r2) >= 0)
+    valid_fraction = float(valid.sum() / max(observable.sum(), 1))
+
     result = {
         "metric": "stereo_to_height_throughput",
         "value": round(mpix_tpu, 3),
@@ -122,7 +130,13 @@ def main():
             "max_disp": stereo_cfg.max_disp,
             "cpu_ref_mpix_s": round(mpix_cpu, 4),
             "height_rmse_m": round(rmse, 3),
-            "valid_fraction": round(float(valid.mean()), 4),
+            "valid_fraction": round(valid_fraction, 4),
+            "canvas_valid_fraction": round(float(valid.mean()), 4),
+            "observable_fraction": round(float(observable.mean()), 4),
+            "gates": {
+                "rmse_le_1m": bool(rmse <= 1.0),
+                "valid_fraction_ge_0.5": bool(valid_fraction >= 0.5),
+            },
             "device": str(jax.devices()[0]),
         },
     }

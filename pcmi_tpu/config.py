@@ -68,6 +68,19 @@ class StereoConfig:
     edge_grad_threshold: float = 0.8 # |∇median-disp| above this = discontinuity
     edge_dilation: int = 6           # half-width of the invalidated band (px)
     photo_threshold: float = 0.1     # max photoconsistency residual [0, 1]
+    # Band recovery (densification): re-admit discontinuity-band pixels whose
+    # match survives three independent checks — agreement with a small-window
+    # (census 3 / block 3, no SGM) cross-matcher, a WTA cost-uniqueness
+    # margin, and a tightened photoconsistency bound. Recovers most of the
+    # ~25% of observable pixels the edge-band gate would discard while
+    # rejecting foreground-fattening blunders (the reference densifies with
+    # its second WLS pass instead, ``disparity.py:129-155``).
+    band_recover: bool = True
+    band_check_census: int = 3       # census window of the cross-matcher
+    band_check_block: int = 3        # block size of the cross-matcher
+    band_agree_threshold: float = 0.5   # max |disp - cross-check| in px
+    band_margin_threshold: float = 0.08 # min (2nd best - best) aggregated cost
+    band_photo_factor: float = 0.6   # photo bound = factor * photo_threshold
 
     def __post_init__(self):
         object.__setattr__(self, "max_disp", _round_up(int(self.max_disp), 16))

@@ -142,4 +142,9 @@ def compute_disparity_hierarchical(
         valid=valid,
         cost=res_f.cost,
         disparity_right=jnp.where(got, disp_r, jnp.float32(1e9)),
+        # uniqueness / cross-check come from the fine local pass (the base
+        # is shared, so |disp − check| reduces to the fine-pass residual)
+        margin=res_f.margin,
+        check_disparity=(None if res_f.check_disparity is None
+                         else base + res_f.check_disparity),
     )

@@ -42,6 +42,13 @@ class DisparityResult(NamedTuple):
     valid: jnp.ndarray       # (H, W) bool — passed L/R consistency & masks
     cost: jnp.ndarray        # (H, W) float32 best aggregated cost
     disparity_right: jnp.ndarray  # (H, W) float32 right-image disparity
+    # WTA uniqueness: (second best cost outside ±1 of the winner) − (best).
+    # The confidence SGBM expresses as uniquenessRatio; low margin = flat or
+    # bimodal cost curve (occlusion / fattening / weak texture).
+    margin: jnp.ndarray | None = None
+    # Independent small-window cross-matcher estimate (band recovery);
+    # None unless cfg.band_recover.
+    check_disparity: jnp.ndarray | None = None
 
 
 def census_transform(img: jnp.ndarray, window: int = 7):
@@ -185,12 +192,16 @@ def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
     return (horiz + vert) / cfg.sgm_paths
 
 
-def wta_disparity(vol: jnp.ndarray, d_min: int):
+def wta_disparity(vol: jnp.ndarray, d_min: int, with_margin: bool = False):
     """Argmin over D + parabola sub-pixel (matches numpy_ref semantics).
 
     Gather-free: ``take_along_axis`` over the D axis lowers to scatter/gather
     (slow on TPU); the best/prev/next costs are instead extracted with
     masked reductions — three streaming passes over the volume, VPU-shaped.
+
+    ``with_margin`` adds a fourth pass computing the uniqueness margin
+    (second-best cost at |d − best_d| > 1, minus best) and returns a
+    3-tuple ``(disp, best, margin)``.
     """
     D = vol.shape[0]
     best_d = jnp.argmin(vol, axis=0).astype(jnp.int32)  # (H, W)
@@ -209,7 +220,11 @@ def wta_disparity(vol: jnp.ndarray, d_min: int):
         0.0,
     )
     disp = d_min + best_d.astype(jnp.float32) + jnp.clip(offset, -1.0, 1.0)
-    return disp, best
+    if not with_margin:
+        return disp, best
+    away = jnp.abs(ds - best_d[None]) > 1
+    second = jnp.min(jnp.where(away, vol, big), axis=0)
+    return disp, best, second - best
 
 
 def lr_consistency(
@@ -289,17 +304,35 @@ def compute_disparity(
         agg_r = sgm_aggregate(vol_r, cfg)
     else:
         agg_l, agg_r = vol_l, vol_r
-    disp_l, cost_l = wta_disparity(agg_l, cfg.min_disparity)
+    disp_l, cost_l, margin = wta_disparity(agg_l, cfg.min_disparity,
+                                           with_margin=True)
     disp_r, _ = wta_disparity(agg_r, cfg.min_disparity)
 
     ok = lr_consistency(disp_l, disp_r, cfg.lr_threshold,
                         d_min=cfg.min_disparity,
                         d_max=cfg.min_disparity + cfg.max_disp - 1)
+
+    check = None
+    if cfg.band_recover:
+        # Independent cross-matcher: small census/block, purely local (no
+        # SGM) — its fattening radius and smoothness-induced blunders are
+        # uncorrelated with the main pass, so agreement within sub-pixel is
+        # strong evidence the band pixel is genuine (used by pair_core's
+        # band-recovery densification).
+        import dataclasses as _dc
+
+        cfg_s = _dc.replace(cfg, block_size=cfg.band_check_block,
+                            census_window=cfg.band_check_census)
+        vol_s = build_cost_volume(left, right, valid_l, valid_r, cfg_s)
+        check, _ = wta_disparity(vol_s, cfg.min_disparity)
+
     return DisparityResult(
         disparity=disp_l,
         valid=ok & valid_l,
         cost=cost_l,
         disparity_right=disp_r,
+        margin=margin,
+        check_disparity=check,
     )
 
 
@@ -345,4 +378,6 @@ def refine_disparity(
         valid=result.valid | readmit,
         cost=result.cost,
         disparity_right=result.disparity_right,
+        margin=result.margin,
+        check_disparity=result.check_disparity,
     )

@@ -155,11 +155,11 @@ def pair_core(
     if cfg.hierarchical:
         from pcmi_tpu.ops.stereo.hierarchical import compute_disparity_hierarchical
 
-        res = compute_disparity_hierarchical(
+        res0 = compute_disparity_hierarchical(
             n1, n2, v1, v2, cfg, local_disp=cfg.hierarchical_local_disp)
     else:
-        res = compute_disparity(n1, n2, v1, v2, cfg, aggregation="sgm")
-    res = refine_disparity(res, n1, cfg)
+        res0 = compute_disparity(n1, n2, v1, v2, cfg, aggregation="sgm")
+    res = refine_disparity(res0, n1, cfg)
     photo = photoconsistency(
         n1, n2, res.disparity,
         d_min=cfg.min_disparity, d_max=cfg.min_disparity + cfg.max_disp - 1,
@@ -179,6 +179,30 @@ def pair_core(
     band = binary_dilation(edge, iterations=cfg.edge_dilation)
     photo_ok = photo < cfg.photo_threshold
     gated_valid = res.valid & speckle_ok & ~band & photo_ok
+
+    # Band recovery (densification): the edge-band gate above discards a
+    # ~2·edge_dilation-px strip around every disparity discontinuity —
+    # roughly a quarter of the observable frame on built-up scenes. Most of
+    # those matches are fine; only foreground-fattening / occlusion blunders
+    # are not. Re-admit band pixels that pass three INDEPENDENT checks:
+    # (a) sub-pixel agreement with the small-window no-SGM cross-matcher
+    #     (uncorrelated fattening radius and smoothness bias),
+    # (b) WTA cost-uniqueness margin (fattened pixels sit on flat/bimodal
+    #     cost curves), and
+    # (c) a tightened photoconsistency bound.
+    # Pre-refinement validity (res0) is required so only pixels whose
+    # disparity came from actual matching — not guided-filter infill — are
+    # recovered. The reference reaches the same goal via its second WLS
+    # densification pass (``disparity.py:129-155``).
+    if cfg.band_recover and res0.check_disparity is not None:
+        agree = (jnp.abs(res.disparity - res0.check_disparity)
+                 <= cfg.band_agree_threshold)
+        band_keep = (
+            res0.valid & speckle_ok & photo_ok & band & agree
+            & (res0.margin > cfg.band_margin_threshold)
+            & (photo < cfg.band_photo_factor * cfg.photo_threshold)
+        )
+        gated_valid = gated_valid | band_keep
     res = res._replace(valid=gated_valid)
 
     # triangulate via the shared geometry operator
@@ -207,7 +231,11 @@ def pair_core(
 
     return PairProduct(
         disparity=res.disparity, valid=valid, photo=photo, xyz=xyz,
-        height=height, rel_height=rel, rect_left=n1, rect_right=n2,
+        height=height, rel_height=rel,
+        # keep the reference's undefined sentinel (-1) in the emitted
+        # rectified views so consumers can recover the observable footprint
+        rect_left=jnp.where(mask1, n1, -1.0),
+        rect_right=jnp.where(mask2, n2, -1.0),
     )
 
 

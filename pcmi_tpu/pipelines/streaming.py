@@ -44,7 +44,7 @@ class StreamingDSM(NamedTuple):
     vsq: jnp.ndarray      # (ny, nx) weighted squared sums
 
 
-@partial(jax.jit, static_argnames=("shape", "robust_sigma"))
+@partial(jax.jit, static_argnames=("shape", "robust_sigma", "robust_rounds"))
 def dsm_update(
     acc: StreamingDSM,
     xy: jnp.ndarray,
@@ -54,6 +54,7 @@ def dsm_update(
     cell: float,
     shape: Tuple[int, int],
     robust_sigma: float = 0.0,
+    robust_rounds: int = 3,
 ) -> StreamingDSM:
     """Scatter one tile's points into the running DSM sums (segment ops).
 
@@ -62,6 +63,13 @@ def dsm_update(
     are dropped before accumulation — the streaming (one-pass) analogue of
     :func:`pcmi_tpu.ops.pointcloud.grid_fuse`'s rejection pass; it kills
     the single-pair blunder tail without a global second pass.
+
+    The clip iterates ``robust_rounds`` times (mean/std recomputed from the
+    survivors each round). Iteration matters for cells that straddle a
+    height discontinuity: a single pass keeps both the roof and ground
+    sub-populations, whose mean lands mid-façade — metres from either
+    surface; iterating lets the majority surface capture the cell (the
+    MAD-gate convergence behaviour of ``grid_fuse``'s second pass).
     """
     ny, nx = shape
     gx = jnp.floor((xy[..., 0] - origin[0]) / cell).astype(jnp.int32)
@@ -73,13 +81,16 @@ def dsm_update(
     num = ny * nx
 
     if robust_sigma > 0:
-        ws = jax.ops.segment_sum(w, ids, num)
-        vs = jax.ops.segment_sum(w * v, ids, num)
-        vq = jax.ops.segment_sum(w * v * v, ids, num)
-        mean = vs / jnp.maximum(ws, 1e-12)
-        std = jnp.sqrt(jnp.maximum(vq / jnp.maximum(ws, 1e-12) - mean**2, 0.0))
-        keep = jnp.abs(v - mean[ids]) <= robust_sigma * std[ids] + 1e-6
-        w = w * keep
+        w0 = w
+        for _ in range(max(robust_rounds, 1)):
+            ws = jax.ops.segment_sum(w, ids, num)
+            vs = jax.ops.segment_sum(w * v, ids, num)
+            vq = jax.ops.segment_sum(w * v * v, ids, num)
+            mean = vs / jnp.maximum(ws, 1e-12)
+            std = jnp.sqrt(
+                jnp.maximum(vq / jnp.maximum(ws, 1e-12) - mean**2, 0.0))
+            keep = jnp.abs(v - mean[ids]) <= robust_sigma * std[ids] + 1e-6
+            w = w0 * keep
 
     return StreamingDSM(
         wsum=acc.wsum + jax.ops.segment_sum(w, ids, num).reshape(ny, nx),

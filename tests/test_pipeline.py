@@ -103,6 +103,20 @@ def test_single_pair_height_rmse_under_1m(scene, pair_run):
     assert abs(float(np.mean(err))) < 0.5
 
 
+def test_single_pair_completeness(scene, pair_run):
+    """Completeness gate: ≥ 50% of the observable canvas (both rectified
+    footprints carry data) must yield a valid height — band recovery keeps
+    the discontinuity bands from hollowing out the product (the reference
+    densifies with its second WLS pass, ``disparity.py:129-155``)."""
+    _, _, product = pair_run
+    valid = np.asarray(product.valid)
+    observable = (np.asarray(product.rect_left) >= 0) & (
+        np.asarray(product.rect_right) >= 0
+    )
+    completeness = valid.sum() / max(observable.sum(), 1)
+    assert completeness >= 0.5, f"completeness {completeness:.3f}"
+
+
 def test_pair_product_masks_and_photo(scene, pair_run):
     _, _, product = pair_run
     valid = np.asarray(product.valid)
@@ -175,7 +189,12 @@ def test_multiday_fusion_dsm_accuracy(scene, cfg):
     # registration residuals should be small (same frame, exact geometry)
     assert float(np.max(np.asarray(fused.icp_rmse))) < 2.0
 
-    # DSM vs truth where cells are filled
+    # DSM vs truth where cells are filled. Two-part evaluation:
+    # (a) distance to the truth INTERVAL (min..max of the true surface over
+    #     the cell footprint) everywhere — a 2 m cell straddling a building
+    #     wall legitimately contains both the roof and the ground height, so
+    #     point-sampled truth is ill-defined there;
+    # (b) plain cell-centre truth on flat cells (|∇truth| ≤ 2 m/m).
     dsm = np.asarray(fused.dsm)
     ny, nx = dsm.shape
     x0, y0 = fused.grid_origin
@@ -186,6 +205,28 @@ def test_multiday_fusion_dsm_accuracy(scene, cfg):
     truth, inb = _truth_on_grid(scene, jnp.asarray(fake_xyz))
     m = np.isfinite(dsm) & inb
     assert m.mean() > 0.3
-    err = dsm[m] - truth[m]
-    rmse = float(np.sqrt(np.mean(err**2)))
-    assert rmse < 1.5, f"fused DSM RMSE {rmse:.3f} m"
+
+    # per-cell truth interval from the native-resolution terrain samples
+    ox, oy = scene.ground_origin
+    terr = np.asarray(scene.terrain)
+    ty_idx, tx_idx = np.mgrid[0: terr.shape[0], 0: terr.shape[1]]
+    wx = ox + tx_idx * scene.ground_gsd
+    wy = oy + ty_idx * scene.ground_gsd
+    cgx = np.floor((wx - x0) / fused.grid_cell).astype(int)
+    cgy = np.floor((wy - y0) / fused.grid_cell).astype(int)
+    ok = (cgx >= 0) & (cgx < nx) & (cgy >= 0) & (cgy < ny)
+    tmin = np.full_like(dsm, np.inf)
+    tmax = np.full_like(dsm, -np.inf)
+    np.minimum.at(tmin, (cgy[ok], cgx[ok]), terr[ok])
+    np.maximum.at(tmax, (cgy[ok], cgx[ok]), terr[ok])
+    mi = m & np.isfinite(tmin) & np.isfinite(tmax)
+    dist = np.where(dsm < tmin, tmin - dsm,
+                    np.where(dsm > tmax, dsm - tmax, 0.0))[mi]
+    rmse_interval = float(np.sqrt(np.mean(dist**2)))
+    assert rmse_interval < 1.0, f"fused DSM interval RMSE {rmse_interval:.3f} m"
+
+    gyt, gxt = np.gradient(truth)
+    flat = m & (np.hypot(gyt, gxt) <= 2.0)
+    err = dsm[flat] - truth[flat]
+    rmse_flat = float(np.sqrt(np.mean(err**2)))
+    assert rmse_flat < 0.75, f"fused DSM flat-cell RMSE {rmse_flat:.3f} m"
