@@ -180,6 +180,17 @@ class PipelineConfig:
     mesh: MeshConfig = MeshConfig()
     height_percentiles: Tuple[float, float] = (2.0, 98.0)  # ref plugin.py:181-191
     ground_percentile: float = 2.0
+    # Blunder-gate thresholds in PHYSICAL units. The pixel-denominated
+    # StereoConfig gates (speckle_threshold px, edge_grad_threshold px/px)
+    # only make sense at one disparity gain; steep-convergence / fine-GSD
+    # geometries have gains of 5+ px/m, where ordinary terrain slopes would
+    # read as "discontinuities" in pixel units and the edge-band gate would
+    # swallow the whole frame. ``HeightMapPipeline.stereo_cfg_for`` converts
+    # these to pixels via the geometry's actual gain; the defaults reproduce
+    # the pixel defaults exactly at the 1.2 px/m gain they were tuned at.
+    speckle_threshold_m: float = 1.0      # max |disp - median| (metres height)
+    edge_step_m: float = 0.5              # height step/px that reads as an edge
+    metric_gates: bool = True             # False = use raw pixel thresholds
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

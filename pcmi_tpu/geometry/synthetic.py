@@ -122,29 +122,52 @@ def _smooth_noise(key, shape, scales=(4, 16, 64), amps=(1.0, 0.5, 0.25)):
 
 
 def make_terrain(key, shape=(768, 768), gsd=0.5, h_range=(0.0, 50.0),
-                 n_buildings=24):
-    """Smooth relief + boxy 'buildings' with flat roofs (height field, m)."""
+                 n_buildings=24, terrain_fraction=0.4,
+                 building_size_px=(8, 48), building_h_m=None):
+    """Smooth relief + boxy 'buildings' with flat roofs (height field, m).
+
+    ``terrain_fraction`` is the share of ``h_range`` taken by the smooth
+    base relief; buildings rise to 30–90% of the range by default, or to an
+    absolute ``building_h_m = (lo_m, hi_m)`` above the LOCAL ground when
+    given. The absolute form matters for deep-relief scenes (the reference's
+    MAX_DISP=288 envelope, ``constants.py:54-57``): with 100+ m of range the
+    relative rule makes towers far taller than their footprint is wide,
+    whose occlusion shadows no real matcher (nor the reference's SGBM) can
+    resolve — real deep relief is mostly smooth topography with ordinary
+    buildings on it."""
     k1, k2, k3 = jax.random.split(key, 3)
     base = _smooth_noise(k1, shape, scales=(96, 192), amps=(1.0, 1.0))
     base = base - base.min()
     base = base / jnp.maximum(base.max(), 1e-6)
     lo, hi = h_range
-    terrain = lo + base * (hi - lo) * 0.4
+    # building stamping runs on host (one device fetch total): 24 sequential
+    # masked updates as device ops would be 24 dispatch round-trips
+    terrain = np.array(lo + base * (hi - lo) * terrain_fraction)
+    ground = terrain.copy()   # pre-building relief: absolute building
+    # heights reference this, so overlapping footprints never stack
 
     hg, wg = shape
-    ys = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
-    centers = jax.random.uniform(k2, (n_buildings, 2), minval=0.1, maxval=0.9)
-    sizes = jax.random.uniform(k3, (n_buildings, 3), minval=0.2, maxval=1.0)
+    ys, xs = np.mgrid[0:hg, 0:wg].astype(np.float32)
+    centers = np.asarray(
+        jax.random.uniform(k2, (n_buildings, 2), minval=0.1, maxval=0.9))
+    sizes = np.asarray(
+        jax.random.uniform(k3, (n_buildings, 3), minval=0.2, maxval=1.0))
+    s_lo, s_hi = building_size_px
     for i in range(n_buildings):
         cy = centers[i, 0] * hg
         cx = centers[i, 1] * wg
-        sy = 8 + sizes[i, 0] * 40
-        sx = 8 + sizes[i, 1] * 40
-        bh = lo + (hi - lo) * (0.3 + 0.6 * sizes[i, 2])
-        inside = (jnp.abs(ys - cy) < sy) & (jnp.abs(xs - cx) < sx)
-        terrain = jnp.where(inside, jnp.maximum(terrain, bh), terrain)
-    return terrain
+        sy = s_lo + sizes[i, 0] * (s_hi - s_lo)
+        sx = s_lo + sizes[i, 1] * (s_hi - s_lo)
+        inside = (np.abs(ys - cy) < sy) & (np.abs(xs - cx) < sx)
+        if building_h_m is None:
+            bh = lo + (hi - lo) * (0.3 + 0.6 * sizes[i, 2])
+        else:
+            # absolute height above local (pre-building) ground at the centre
+            g = ground[int(cy), int(cx)]
+            bh = g + building_h_m[0] + sizes[i, 2] * (
+                building_h_m[1] - building_h_m[0])
+        terrain[inside] = np.maximum(terrain[inside], bh)
+    return jnp.asarray(terrain)
 
 
 def make_texture(key, shape=(768, 768)):
@@ -219,6 +242,7 @@ def make_stereo_scene(
     out_shape=(640, 640),
     radiometric_jitter: float = 0.15,
     origin_lonlat=(TARGET_LON, TARGET_LAT),
+    terrain_kwargs: dict | None = None,
 ) -> SyntheticScene:
     """Full multi-view scene. ``views`` are (incidence°, azimuth°) per date.
 
@@ -229,7 +253,8 @@ def make_stereo_scene(
     """
     key = jax.random.PRNGKey(seed)
     kt, kx, kr = jax.random.split(key, 3)
-    terrain = make_terrain(kt, ground_shape, gsd, h_range)
+    terrain = make_terrain(kt, ground_shape, gsd, h_range,
+                           **(terrain_kwargs or {}))
     texture = make_texture(kx, ground_shape)
 
     hg, wg = ground_shape

@@ -4,8 +4,10 @@ This is the parity baseline required by BASELINE.json config 1 ("Single WV3
 sample pair -> height map ... CPU NumPy parity") and the denominator for the
 >=20x throughput target. Semantics match the TPU implementation in
 :mod:`pcmi_tpu.ops.stereo.matching` exactly (same census + AD cost, same box
-aggregation, same WTA + parabola sub-pixel, same L/R consistency rule); the
-TPU path is additionally regularised by semi-global aggregation.
+aggregation, same WTA + parabola sub-pixel, same L/R consistency rule), and
+``aggregation="sgm"`` adds the same 4-path semi-global regularisation the
+TPU path runs by default — the bench times the CPU path in that mode so the
+throughput ratio compares equal work.
 
 The matching envelope mirrors the reference's SGBM setup: signed search
 range ``[-max_disp/2, max_disp/2)`` (reference ``disparity.py:265-267``),
@@ -120,10 +122,13 @@ def disparity_wta_np(
     block: int = 15,
     ad_weight: float = 0.3,
     census_window: int = 7,
+    aggregation: str = "box",
 ):
     """Winner-takes-all disparity with parabola sub-pixel refinement.
 
-    Returns ``(disparity, best_cost)``; disparity is float px in
+    ``aggregation="sgm"`` adds the 4-path semi-global pass after box
+    aggregation (matching the TPU path's default work). Returns
+    ``(disparity, best_cost)``; disparity is float px in
     ``[-max_disp/2, max_disp/2)``.
     """
     h, w = left.shape
@@ -149,6 +154,8 @@ def disparity_wta_np(
         costs.append(c)
 
     vol = np.stack(costs)  # (D, H, W)
+    if aggregation == "sgm":
+        vol = sgm_aggregate_np(vol)
     best_d = vol.argmin(0)
     yy, xx = np.mgrid[:h, :w]
     best = vol[best_d, yy, xx]
@@ -163,6 +170,41 @@ def disparity_wta_np(
     )
     disp = (d_min + best_d + np.clip(offset, -1, 1)).astype(np.float32)
     return disp, best
+
+
+def sgm_aggregate_np(vol: np.ndarray, p1: float = 0.03, p2: float = 0.48):
+    """4-path semi-global aggregation (Hirschmüller 2008), NumPy reference.
+
+    Same recurrence as :func:`pcmi_tpu.ops.stereo.matching._sgm_scan`
+    (L/R/T/B paths, averaged). Included so the CPU baseline timed by
+    ``bench.py`` performs the SAME regularisation work as the TPU path —
+    a like-for-like throughput denominator."""
+    D, h, w = vol.shape
+    out = np.zeros_like(vol)
+    for axis, reverse in ((2, False), (2, True), (1, False), (1, True)):
+        span = vol.shape[axis]
+        acc = np.zeros_like(vol)
+        prev = None
+        order = range(span - 1, -1, -1) if reverse else range(span)
+        for i in order:
+            c = vol[:, :, i] if axis == 2 else vol[:, i, :]
+            if prev is None:
+                cur = c.copy()
+            else:
+                m = prev.min(0)
+                inf_row = np.full((1, prev.shape[1]), np.inf, vol.dtype)
+                up = np.concatenate([inf_row, prev[:-1]])
+                dn = np.concatenate([prev[1:], inf_row])
+                best = np.minimum(np.minimum(prev, m[None] + p2),
+                                  np.minimum(up + p1, dn + p1))
+                cur = c + best - m[None]
+            if axis == 2:
+                acc[:, :, i] = cur
+            else:
+                acc[:, i, :] = cur
+            prev = cur
+        out += acc
+    return (out / 4.0).astype(np.float32)
 
 
 def lr_consistency_np(disp_l: np.ndarray, disp_r: np.ndarray, thresh: float = 1.5):
@@ -191,6 +233,7 @@ def stereo_pipeline_np(
     max_disp: int = 288,
     block: int = 15,
     lr_thresh: float = 1.5,
+    aggregation: str = "box",
 ):
     """Full CPU reference: WTA both directions + L/R consistency.
 
@@ -203,14 +246,16 @@ def stereo_pipeline_np(
         valid_l = left >= 0
     if valid_r is None:
         valid_r = right >= 0
-    disp_l, cost_l = disparity_wta_np(left, right, valid_l, valid_r, max_disp, block)
+    disp_l, cost_l = disparity_wta_np(left, right, valid_l, valid_r, max_disp,
+                                      block, aggregation=aggregation)
     # Right disparity via mirror trick: flip x of both images and swap roles;
     # dR(x2) in the flipped frame equals the unflipped dR.
     fl = left[:, ::-1]
     fr = right[:, ::-1]
     fvl = valid_l[:, ::-1]
     fvr = valid_r[:, ::-1]
-    disp_r_f, _ = disparity_wta_np(fr, fl, fvr, fvl, max_disp, block)
+    disp_r_f, _ = disparity_wta_np(fr, fl, fvr, fvl, max_disp, block,
+                                   aggregation=aggregation)
     disp_r = disp_r_f[:, ::-1]
     mask = lr_consistency_np(disp_l, disp_r, lr_thresh)
     return disp_l, disp_r, mask & valid_l

@@ -259,9 +259,24 @@ class HeightMapPipeline:
         )
 
     def stereo_cfg_for(self, geoms: Sequence[RectifiedGeometry]) -> StereoConfig:
-        """Stereo config with the search range sized to the geometry."""
+        """Stereo config with the search range sized to the geometry.
+
+        With ``cfg.metric_gates``, the pixel-denominated blunder-gate
+        thresholds are derived from the physical ones via the actual
+        disparity gain — at 5+ px/m (steep convergence / fine GSD) the
+        pixel defaults would misread ordinary slopes as discontinuities.
+        """
         md = required_max_disp(geoms, self.cfg.rectify.height_range)
-        return dataclasses.replace(self.cfg.stereo, max_disp=md)
+        updates = dict(max_disp=md)
+        if self.cfg.metric_gates and geoms:
+            gain = max(abs(g.disp_gain) for g in geoms)
+            updates["speckle_threshold"] = self.cfg.speckle_threshold_m * gain
+            updates["edge_grad_threshold"] = self.cfg.edge_step_m * gain
+            # invalidated band half-width = the matcher's fattening radius,
+            # set by the aggregation footprint (block + census support), not
+            # by the geometry; measured halo ≈ block_size + 5 px
+            updates["edge_dilation"] = self.cfg.stereo.block_size + 5
+        return dataclasses.replace(self.cfg.stereo, **updates)
 
     def process_pair(
         self,

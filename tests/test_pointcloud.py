@@ -133,3 +133,29 @@ def test_icp_rigid_recovery(rng):
     moved = np.asarray(pc.apply_rigid(jnp.asarray(src), res.R, res.t))
     err = np.linalg.norm(moved - pts, axis=1)
     assert np.median(err) < 0.2
+
+
+def test_icp_survives_gross_outliers(rng):
+    """Registration must hold with 5% planted gross outliers in the source
+    cloud: the correspondence gate (quantile trim capped at 4x the median
+    distance) keeps them out of the Kabsch update even though they would
+    survive a pure quantile trim."""
+    pts = rng.uniform(-25, 25, (2000, 3)).astype(np.float32)
+    ang = np.radians(3.0)
+    R = np.array([
+        [np.cos(ang), -np.sin(ang), 0],
+        [np.sin(ang), np.cos(ang), 0],
+        [0, 0, 1],
+    ], np.float32)
+    t = np.array([1.5, -1.0, 0.8], np.float32)
+    src = pts @ R.T + t
+    n_out = len(src) // 20          # 5% gross outliers, 100-300 units away
+    src[:n_out] += rng.uniform(100, 300, (n_out, 3)).astype(np.float32)
+    valid = np.ones(len(pts), bool)
+    res = pc.icp(jnp.asarray(src), jnp.asarray(valid),
+                 jnp.asarray(pts), jnp.asarray(valid),
+                 iters=15, chunk=512, mode="rigid")
+    moved = np.asarray(pc.apply_rigid(jnp.asarray(src[n_out:]), res.R, res.t))
+    err = np.linalg.norm(moved - pts[n_out:], axis=1)
+    assert np.median(err) < 0.3, f"median reg error {np.median(err):.3f}"
+    assert float(res.rmse) < 1.0
