@@ -23,6 +23,7 @@ from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import linen as nn
 
@@ -31,10 +32,16 @@ from pcmi_tpu.models.unet import ConvBlock, _down, _up
 
 class CenterNetHead(nn.Module):
     """(B, H, W, C_in) -> heatmap (B, H/4, W/4, n_classes), size (.., 2),
-    offset (.., 2). Output stride 4."""
+    offset (.., 2)[, angle (.., 2)]. Output stride 4.
+
+    ``with_angle`` adds an oriented-box head predicting (sin 2θ, cos 2θ) —
+    the double angle makes the regression target continuous under the
+    rectangle's π symmetry — giving OBB capability parity with the
+    reference's YOLO-OBB model (``obj_model.py:39-52``)."""
 
     widths: Sequence[int] = (32, 64, 128)
     n_classes: int = 1
+    with_angle: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -48,6 +55,9 @@ class CenterNetHead(nn.Module):
                        bias_init=nn.initializers.constant(-2.19))(h)
         size = nn.Conv(2, (1, 1))(h)
         offset = nn.Conv(2, (1, 1))(h)
+        if self.with_angle:
+            angle = nn.Conv(2, (1, 1))(h)             # (sin 2θ, cos 2θ)
+            return heat, size, offset, angle
         return heat, size, offset
 
 
@@ -90,6 +100,7 @@ class DetectorTrainConfig:
     stride: int = 4
     w_size: float = 0.1
     w_offset: float = 1.0
+    w_angle: float = 1.0
     max_objects: int = 32
 
 
@@ -187,6 +198,164 @@ class DetectorTrainer:
             ], axis=-1)
 
         return detect
+
+
+class OBBDetectorTrainer:
+    """Oriented-box (OBB) trainer — the reference's YOLO-OBB capability
+    (``obj_model.py:39-52``, claimed 92.8% mAP at ``test_obj.py:53``) on the
+    same center-heatmap architecture plus the (sin 2θ, cos 2θ) angle head.
+
+    Ground truth per image: ``obbs`` (B, K, 5) = (cy, cx, h, w, theta),
+    ``valid`` (B, K) bool. Decode emits (N, K, 6) = (cy, cx, h, w, theta,
+    score); evaluate with :mod:`pcmi_tpu.models.detector_eval`.
+    """
+
+    def __init__(self, cfg: DetectorTrainConfig = DetectorTrainConfig(),
+                 model: nn.Module | None = None):
+        self.cfg = cfg
+        self.model = model or CenterNetHead(with_angle=True)
+        assert getattr(self.model, "with_angle", False), \
+            "OBBDetectorTrainer needs a with_angle head"
+        self.tx = optax.adam(cfg.lr)
+
+    def init(self, key, sample_images):
+        params = self.model.init(key, sample_images)
+        return params, self.tx.init(params)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step(self, params, opt, images, obbs, valid):
+        cfg = self.cfg
+        s = cfg.stride
+
+        def loss_fn(p):
+            heat_l, size_p, off_p, ang_p = self.model.apply(p, images)
+            hh, ww = heat_l.shape[1:3]
+            cy = obbs[:, :, 0] / s
+            cx = obbs[:, :, 1] / s
+            sizes = obbs[:, :, 2:4] / s
+            theta = obbs[:, :, 4]
+            sigma = jnp.maximum(
+                jnp.sqrt(jnp.maximum(sizes[..., 0] * sizes[..., 1], 1.0)) / 3.0,
+                1.0)
+            centers = jnp.stack([cy, cx], axis=-1)
+            gt_heat = jax.vmap(
+                lambda c, v, sg: gaussian_heatmap(c, v, (hh, ww), sg)
+            )(centers, valid, sigma)
+            l_heat = focal_loss(heat_l[..., 0], gt_heat)
+
+            ci = jnp.clip(centers.astype(jnp.int32), 0,
+                          jnp.array([hh - 1, ww - 1]))
+            bidx = jnp.arange(images.shape[0])[:, None]
+            sp = size_p[bidx, ci[..., 0], ci[..., 1]]
+            op = off_p[bidx, ci[..., 0], ci[..., 1]]
+            ap_ = ang_p[bidx, ci[..., 0], ci[..., 1]]
+            v = valid.astype(jnp.float32)[..., None]
+            n = jnp.maximum(jnp.sum(v), 1.0)
+            l_size = jnp.sum(jnp.abs(sp - sizes) * v) / n
+            frac = centers - jnp.floor(centers)
+            l_off = jnp.sum(jnp.abs(op - frac) * v) / n
+            gt_ang = jnp.stack([jnp.sin(2 * theta), jnp.cos(2 * theta)], -1)
+            l_ang = jnp.sum(jnp.abs(ap_ - gt_ang) * v) / n
+            total = (l_heat + cfg.w_size * l_size + cfg.w_offset * l_off
+                     + cfg.w_angle * l_ang)
+            return total, {"heat": l_heat, "size": l_size, "off": l_off,
+                           "angle": l_ang}
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt = self.tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt, {"loss": loss, **parts}
+
+    def make_obb_detector(self, params, max_boxes: int = 16,
+                          score_thresh: float = 0.25):
+        """(N, T, T[, C]) batch -> (N, max_boxes, 6) = (cy, cx, h, w, θ, score)."""
+        s = self.cfg.stride
+        model = self.model
+
+        @jax.jit
+        def detect(batch):
+            x = batch[..., None] if batch.ndim == 3 else batch
+            heat_l, size_p, off_p, ang_p = model.apply(params, x)
+            heat = jax.nn.sigmoid(heat_l).max(axis=-1)
+            peaks = jax.lax.reduce_window(
+                heat, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
+            is_peak = (heat == peaks) & (heat > score_thresh)
+            score = jnp.where(is_peak, heat, 0.0)
+            n, hh, ww = score.shape
+            top, idx = jax.lax.top_k(score.reshape(n, -1), max_boxes)
+            py = (idx // ww).astype(jnp.float32)
+            px = (idx % ww).astype(jnp.float32)
+            bidx = jnp.arange(n)[:, None]
+            sz = size_p[bidx, idx // ww, idx % ww]
+            of = off_p[bidx, idx // ww, idx % ww]
+            ag = ang_p[bidx, idx // ww, idx % ww]
+            theta = 0.5 * jnp.arctan2(ag[..., 0], ag[..., 1])
+            return jnp.stack([
+                (py + of[..., 0]) * s, (px + of[..., 1]) * s,
+                jnp.maximum(sz[..., 0], 0.0) * s,
+                jnp.maximum(sz[..., 1], 0.0) * s,
+                theta, top,
+            ], axis=-1)
+
+        return detect
+
+
+def synthesize_obb_batch(key, batch: int = 8, size: int = 128,
+                         max_objects: int = 5):
+    """Aircraft-like oriented targets on textured ground with exact OBB truth.
+
+    The synthetic stand-in for the reference's Roboflow DOTA-planes download
+    (``obj_model.py:13``, egress-free here): low-frequency textured terrain,
+    plus per-object rotated "plane" shapes (fuselage + wing bar) at random
+    orientation/scale/contrast. Returns ``(images, obbs, valid)`` with
+    ``obbs`` (B, K, 5) = (cy, cx, h, w, theta) tight around the shape.
+    """
+    kb, kn, kc, ks, ka, kg = jax.random.split(key, 6)
+    # textured ground: sum of smoothed noise octaves
+    gy = jax.random.normal(kn, (batch, size // 8 + 2, size // 8 + 2, 1))
+    ground = jax.image.resize(gy, (batch, size, size, 1), "linear")
+    g2 = jax.random.normal(jax.random.fold_in(kn, 1),
+                           (batch, size // 2, size // 2, 1))
+    ground = 0.45 + 0.12 * ground + 0.06 * jax.image.resize(
+        g2, (batch, size, size, 1), "linear")
+
+    n_obj = jax.random.randint(kb, (batch,), 1, max_objects + 1)
+    cy = jax.random.uniform(kc, (batch, max_objects), minval=0.18, maxval=0.82) * size
+    cx = jax.random.uniform(jax.random.fold_in(kc, 1), (batch, max_objects),
+                            minval=0.18, maxval=0.82) * size
+    length = jax.random.uniform(ks, (batch, max_objects), minval=16.0, maxval=30.0)
+    span = length * jax.random.uniform(jax.random.fold_in(ks, 1),
+                                       (batch, max_objects),
+                                       minval=0.7, maxval=0.95)
+    theta = jax.random.uniform(ka, (batch, max_objects),
+                               minval=-np.pi / 2, maxval=np.pi / 2)
+    bright = jax.random.uniform(kg, (batch, max_objects), minval=0.25, maxval=0.45)
+    valid = jnp.arange(max_objects)[None, :] < n_obj[:, None]
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (size, size), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (size, size), 1)
+
+    def render(img, cys, cxs, Ls, Ws, ths, brs, vs):
+        def one(c_y, c_x, L, Wd, th, br, v):
+            # rotate into the box frame: u along fuselage (length L),
+            # w across (span Wd)
+            dy = ys - c_y
+            dx = xs - c_x
+            u = dy * jnp.cos(th) + dx * jnp.sin(th)
+            w_ = -dy * jnp.sin(th) + dx * jnp.cos(th)
+            fuselage = (jnp.abs(u) < L / 2) & (jnp.abs(w_) < L / 8)
+            wing = (jnp.abs(u) < L / 8) & (jnp.abs(w_) < Wd / 2)
+            tail = (u > L / 2 - L / 6) & (jnp.abs(u) < L / 2) & (
+                jnp.abs(w_) < Wd / 4)
+            shape = fuselage | wing | tail
+            return jnp.where(v & shape, br, 0.0)
+
+        marks = jax.vmap(one)(cys, cxs, Ls, Ws, ths, brs, vs)
+        return jnp.clip(img[..., 0] + jnp.sum(marks, 0), 0, 1)[..., None]
+
+    images = jax.vmap(render)(ground, cy, cx, length, span, theta, bright, valid)
+    obbs = jnp.stack([cy, cx, length, span, theta], axis=-1)
+    return images, obbs, valid
 
 
 def synthesize_detection_batch(key, batch: int = 8, size: int = 128,
