@@ -1,0 +1,221 @@
+"""Generative quality benchmark: SR vs bicubic, inpaint vs prefill, DIP.
+
+Prints ONE JSON line:
+  {"metric": "generative_quality", "value": <SR PSNR gain dB>, ...}
+
+The reference ships pretrained weights (SD inpainting ``satdiff.py:90-121``,
+SR checkpoint ``stan/plugin.py:228-245``) but records no numbers; these
+gates are the rebuild's numeric replacement for its visual notebook
+evaluation (cells 43-45):
+
+* SR: the trained SRUNet must beat bicubic PSNR on held-out scenes.
+* Inpaint: the trained InpaintUNet must beat the diffusion prefill
+  (the Telea stand-in) on in-hole PSNR, held-out scenes.
+* DIP: the engine must improve noisy input PSNR (no training data at all).
+
+Run: python bench_generative.py [--sr-steps N] [--inpaint-steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def make_scene_rgb(key, size: int = 96):
+    """Satellite-like RGB with LEARNABLE structure: Voronoi field parcels,
+    roads, buildings with shadows, mild texture.
+
+    Purely random high-frequency texture is information-theoretically
+    unrecoverable — on it bicubic/smooth-fill are near-optimal and no model
+    can beat them. Parcel boundaries, road lines and building edges are the
+    structure real imagery has and learned SR/inpainting exploit.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+
+    # field parcels: nearest-seed (Voronoi) labels -> per-parcel reflectance
+    k = 12
+    seeds = rng.uniform(0, size, (k, 2)).astype(np.float32)
+    d2 = (ys[..., None] - seeds[:, 0]) ** 2 + (xs[..., None] - seeds[:, 1]) ** 2
+    lab = np.argmin(d2, axis=-1)
+    refl = rng.uniform(0.2, 0.8, k).astype(np.float32)
+    g = refl[lab]
+
+    # roads: 2-3 straight dark lines
+    for _ in range(rng.integers(2, 4)):
+        p = rng.uniform(0, size, 2)
+        th = rng.uniform(0, np.pi)
+        n_ = np.array([np.sin(th), -np.cos(th)])
+        dist = np.abs((ys - p[0]) * n_[0] + (xs - p[1]) * n_[1])
+        g = np.where(dist < 1.5, 0.12, g)
+
+    # buildings: bright rectangles with a dark offset shadow
+    for _ in range(rng.integers(3, 7)):
+        cy, cx = rng.uniform(8, size - 8, 2)
+        hh, ww = rng.uniform(3, 9, 2)
+        b = (np.abs(ys - cy) < hh) & (np.abs(xs - cx) < ww)
+        s = (np.abs(ys - cy - hh) < 2) & (np.abs(xs - cx - ww / 2) < ww)
+        g = np.where(s, 0.08, g)
+        g = np.where(b, 0.85, g)
+
+    g = g + rng.normal(0, 0.02, g.shape).astype(np.float32)
+    rgb = np.stack([0.92 * g + 0.04, g, 0.85 * g + 0.06], axis=-1)
+    return jnp.asarray(np.clip(rgb, 0.0, 1.0), jnp.float32)
+
+
+def _batch(key, n, size):
+    import jax
+    import jax.numpy as jnp
+
+    keys = jax.random.split(key, n)
+    return jnp.stack([make_scene_rgb(k, size) for k in keys])
+
+
+def make_pool(key, n_scenes: int, size: int):
+    """Pre-generated scene pool; training samples augmented batches from it
+    on device (scene synthesis has a host-side building loop — per-step
+    generation would be host-bound)."""
+    return _batch(key, n_scenes, size)
+
+
+def sample_batch(key, pool, batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    ki, kf, kr = jax.random.split(key, 3)
+    idx = jax.random.randint(ki, (batch,), 0, pool.shape[0])
+    out = pool[idx]
+    flip = jax.random.bernoulli(kf, 0.5, (batch,))
+    out = jnp.where(flip[:, None, None, None], out[:, :, ::-1], out)
+    rot = jax.random.bernoulli(kr, 0.5, (batch,))
+    out = jnp.where(rot[:, None, None, None],
+                    jnp.transpose(out, (0, 2, 1, 3)), out)
+    return out
+
+
+def bench_sr(steps: int, size: int = 96, batch: int = 8, seed: int = 0):
+    import jax
+
+    from pcmi_tpu.models.metrics import psnr
+    from pcmi_tpu.models.training import SRGANTrainer, SRTrainConfig, make_sr_pairs
+    from pcmi_tpu.models.unet import bicubic_upsample
+
+    trainer = SRGANTrainer(SRTrainConfig(warmup_steps=max(steps, 1)))
+    key = jax.random.PRNGKey(seed)
+    pool = make_pool(key, 48, size)
+    lr, hr = make_sr_pairs(pool[:batch])
+    state = trainer.init(jax.random.PRNGKey(seed + 1), lr)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        hr_b = sample_batch(sub, pool, batch)
+        lr_b, hr_b = make_sr_pairs(hr_b)
+        state, m = trainer.train_step(state, lr_b, hr_b)
+    train_s = time.perf_counter() - t0
+
+    # held-out evaluation
+    ek = jax.random.PRNGKey(50_000 + seed)
+    hr_t = _batch(ek, batch, size)
+    lr_t, hr_t = make_sr_pairs(hr_t)
+    sr = trainer.infer(state, lr_t)
+    up = bicubic_upsample(lr_t, trainer.cfg.factor)
+    p_sr = float(psnr(sr, hr_t))
+    p_bi = float(psnr(up, hr_t))
+    return {"sr_psnr": round(p_sr, 3), "bicubic_psnr": round(p_bi, 3),
+            "gain_db": round(p_sr - p_bi, 3), "train_seconds": round(train_s, 1)}
+
+
+def bench_inpaint(steps: int, size: int = 96, batch: int = 8, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from pcmi_tpu.models.losses import random_hole_masks
+    from pcmi_tpu.models.metrics import psnr
+    from pcmi_tpu.models.training import InpaintGANTrainer, InpaintTrainConfig
+    from pcmi_tpu.pipelines.generative import diffusion_prefill
+
+    trainer = InpaintGANTrainer(InpaintTrainConfig())
+    key = jax.random.PRNGKey(seed)
+    pool = make_pool(key, 48, size)
+    state = trainer.init(jax.random.PRNGKey(seed + 1), pool[:batch])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, k1, k2 = jax.random.split(key, 3)
+        imgs = sample_batch(k1, pool, batch)
+        state, m = trainer.train_step(state, imgs, k2)
+    train_s = time.perf_counter() - t0
+
+    ek = jax.random.PRNGKey(60_000 + seed)
+    imgs_t = _batch(ek, batch, size)
+    mask = random_hole_masks(jax.random.PRNGKey(61_000 + seed),
+                             (batch, size, size), 6, 10)
+    out = trainer.infer(state, imgs_t, mask)
+    pre = jnp.stack([
+        diffusion_prefill(imgs_t[i], mask[i, ..., 0] > 0.5)
+        for i in range(batch)
+    ])
+    m3 = mask  # (B, H, W, 1) broadcasts over channels
+    p_model = float(psnr(out, imgs_t, mask=m3))
+    p_prefill = float(psnr(pre, imgs_t, mask=m3))
+    return {"inpaint_psnr": round(p_model, 3), "prefill_psnr": round(p_prefill, 3),
+            "gain_db": round(p_model - p_prefill, 3),
+            "train_seconds": round(train_s, 1)}
+
+
+def bench_dip(size: int = 96, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from pcmi_tpu.models.dip import DIPConfig, DIPEngine
+    from pcmi_tpu.models.metrics import psnr
+
+    clean = make_scene_rgb(jax.random.PRNGKey(70_000 + seed), size)
+    noisy = jnp.clip(
+        clean + 0.1 * jax.random.normal(jax.random.PRNGKey(70_001), clean.shape),
+        0.0, 1.0)
+    # enhance = fit DIP to the whole image; the prior's spectral bias does
+    # the denoising (moderate iteration budget = classic DIP early stopping)
+    engine = DIPEngine(DIPConfig(iters=300))
+    res = engine.enhance(noisy)
+    p_out = float(psnr(jnp.asarray(res.output), clean))
+    p_in = float(psnr(noisy, clean))
+    return {"dip_psnr": round(p_out, 3), "noisy_psnr": round(p_in, 3),
+            "gain_db": round(p_out - p_in, 3)}
+
+
+def main(sr_steps=800, inpaint_steps=800):
+    sr = bench_sr(sr_steps)
+    inp = bench_inpaint(inpaint_steps)
+    dip = bench_dip()
+    result = {
+        "metric": "generative_quality",
+        "value": sr["gain_db"],
+        "unit": "dB PSNR over bicubic (SR)",
+        "vs_baseline": round(sr["sr_psnr"] / max(sr["bicubic_psnr"], 1e-9), 3),
+        "detail": {
+            "sr": sr, "inpaint": inp, "dip": dip,
+            "gates": {
+                "sr_beats_bicubic": bool(sr["gain_db"] > 0),
+                "inpaint_beats_prefill": bool(inp["gain_db"] > 0),
+                "dip_denoises": bool(dip["gain_db"] > 0),
+            },
+        },
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sr-steps", type=int, default=800)
+    ap.add_argument("--inpaint-steps", type=int, default=800)
+    a = ap.parse_args()
+    main(a.sr_steps, a.inpaint_steps)

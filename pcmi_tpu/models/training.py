@@ -60,6 +60,13 @@ class InpaintTrainConfig:
     mask_seeds: int = 6
     mask_steps: int = 10
     compute_dtype: str = "bfloat16"   # bf16 compute == the AMP analogue
+    # Condition the generator on the Jacobi-prefilled hole instead of a
+    # zero fill: the residual head then only has to learn the texture/edge
+    # delta over the smooth baseline — the inpainting analogue of the SR
+    # net predicting a residual over bicubic. Training and inference use
+    # the identical conditioning.
+    prefill_condition: bool = True
+    prefill_iters: int = 64
 
 
 class InpaintGANTrainer:
@@ -93,11 +100,10 @@ class InpaintGANTrainer:
         km, kz = jax.random.split(key, 2)
         b, h, w, _ = images.shape
         mask = random_hole_masks(km, (b, h, w), cfg.mask_seeds, cfg.mask_steps)
-        # generator conditioning = zero-filled hole + mask, EXACTLY what
-        # inference feeds (``infer``/``InpaintingPlugin``): training on a
-        # blur-filled hole the serving path never provides is a systematic
-        # train/inference distribution shift
-        inp = jnp.concatenate([images * (1 - mask), mask], axis=-1)
+        # generator conditioning EXACTLY matches what inference feeds
+        # (``infer``/``InpaintingPlugin``): prefilled hole + mask by
+        # default, zero-filled hole when prefill_condition is off
+        inp = self._condition(images, mask)
 
         def g_forward(params):
             return self.gen.apply(params, inp.astype(dt)).astype(jnp.float32)
@@ -133,9 +139,20 @@ class InpaintGANTrainer:
                        g_opt=g_opt, d_opt=d_opt, step=state.step + 1)
         return new, {"d_loss": d_loss, "g_loss": g_loss, **parts}
 
+    def _condition(self, images: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3+1) generator input: (pre)filled hole + mask plane."""
+        if self.cfg.prefill_condition:
+            from pcmi_tpu.ops.filters import masked_jacobi_fill
+
+            filled = jax.vmap(
+                lambda im, m: masked_jacobi_fill(im, m, self.cfg.prefill_iters)
+            )(images, mask[..., 0])
+        else:
+            filled = images * (1 - mask)
+        return jnp.concatenate([filled, mask], axis=-1)
+
     def infer(self, state: GANState, images: jnp.ndarray, mask: jnp.ndarray):
-        inp = jnp.concatenate([images * (1 - mask), mask], axis=-1)
-        return self.gen.apply(state.g_params, inp)
+        return self.gen.apply(state.g_params, self._condition(images, mask))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -196,6 +196,31 @@ def separable_median_filter(img: jnp.ndarray, size: int = 9) -> jnp.ndarray:
     return _median_along(out, size, 1)
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def masked_jacobi_fill(image: jnp.ndarray, mask: jnp.ndarray, iters: int = 128):
+    """Fill ``mask`` holes by Jacobi relaxation from the rim.
+
+    The Telea-inpaint stand-in (ref ``components/restoration.py:9-16``) and
+    the conditioning baseline the inpainting model predicts residuals over.
+    Lives in ops so both the generative pipelines and the model trainers
+    share one implementation.
+    """
+    img = image.astype(jnp.float32)
+    m = mask.astype(jnp.float32)
+    m3 = m[..., None] if img.ndim == 3 and m.ndim == 2 else m
+    # seed the hole with the (per-image) mean of the KNOWN pixels — divide
+    # by the broadcast count so multi-channel images aren't biased
+    w = jnp.broadcast_to(1.0 - m3, img.shape)
+    known_mean = jnp.sum(img * w) / jnp.maximum(jnp.sum(w), 1.0)
+    init = img * (1.0 - m3) + known_mean * m3
+
+    def body(_, x):
+        blur = gaussian_filter(x, 1.5, radius=2)
+        return jnp.where(m3 > 0.5, blur, img)
+
+    return jax.lax.fori_loop(0, iters, body, init)
+
+
 @partial(jax.jit, static_argnames=("amount", "sigma"))
 def unsharp_mask(img: jnp.ndarray, amount: float = 1.5, sigma: float = 2.0):
     """Unsharp masking: ``(1+a)*img - a*blur`` (reference

@@ -30,30 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from pcmi_tpu.interface import Layer, SatellitePlugin
-from pcmi_tpu.ops.filters import gaussian_filter
+from pcmi_tpu.ops.filters import gaussian_filter, masked_jacobi_fill
 from pcmi_tpu.ops.morphology import binary_dilation, distance_transform
 
-
-@partial(jax.jit, static_argnames=("iters",))
-def diffusion_prefill(image: jnp.ndarray, mask: jnp.ndarray, iters: int = 128):
-    """Fill holes by Jacobi relaxation from the rim (Telea stand-in,
-    ref ``components/restoration.py:9-16``)."""
-    img = image.astype(jnp.float32)
-    m = mask.astype(jnp.float32)
-    if img.ndim == 3:
-        m3 = m[..., None]
-    else:
-        m3 = m
-    # seed the hole with the mean of the KNOWN pixels (dividing the masked
-    # sum by H*W would bias large holes toward 0)
-    known_mean = jnp.sum(img * (1.0 - m3)) / jnp.maximum(jnp.sum(1.0 - m3), 1.0)
-    init = img * (1.0 - m3) + known_mean * m3
-
-    def body(_, x):
-        blur = gaussian_filter(x, 1.5, radius=2)
-        return jnp.where(m3 > 0.5, blur, img)
-
-    return jax.lax.fori_loop(0, iters, body, init)
+# canonical implementation lives in ops.filters (shared with the inpaint
+# trainer's conditioning); this name is the established pipeline surface
+diffusion_prefill = masked_jacobi_fill
 
 
 @partial(jax.jit, static_argnames=("blend_width",))

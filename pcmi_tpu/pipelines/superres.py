@@ -122,7 +122,11 @@ class InpaintingPlugin(SatellitePlugin):
         mask_p, _ = _pad_to_multiple(np.asarray(mask, np.float32), 8)
         m = jnp.asarray(mask_p, jnp.float32)[None, ..., None]
         rgb = jnp.asarray(x)[None]
-        inp = jnp.concatenate([rgb * (1 - m), m], axis=-1)
+        # prefill conditioning — must match InpaintGANTrainer._condition
+        from pcmi_tpu.ops.filters import masked_jacobi_fill
+
+        filled = masked_jacobi_fill(rgb[0], m[0, ..., 0], 64)[None]
+        inp = jnp.concatenate([filled, m], axis=-1)
         if self.params is None:
             if self.checkpoint and os.path.exists(self.checkpoint):
                 from pcmi_tpu.models.training import restore_checkpoint
