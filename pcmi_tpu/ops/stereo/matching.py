@@ -27,6 +27,13 @@ import jax.numpy as jnp
 from pcmi_tpu.config import StereoConfig
 
 
+def _cost_dtype(cfg: StereoConfig):
+    """Storage dtype for cost/aggregation volumes (see StereoConfig.cost_dtype)."""
+    if cfg.cost_dtype == "auto":
+        return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    return jnp.dtype(cfg.cost_dtype)
+
+
 def _scan_unroll() -> int:
     """Unroll factor for the disparity/SGM scans.
 
@@ -135,7 +142,9 @@ def build_cost_volume(
         ad = jnp.minimum(jnp.abs(left - r), 0.5) / 0.5
         cost = (1.0 - cfg.ad_weight) * census_cost + cfg.ad_weight * ad
         cost = jnp.where(valid_l & v, cost, 1.0)
-        return None, _box_edge(cost, cfg.block_size)
+        # aggregate in f32, store in the volume dtype (bf16 on TPU): the
+        # volume write/read traffic dominates the matcher
+        return None, _box_edge(cost, cfg.block_size).astype(_cost_dtype(cfg))
 
     ds = jnp.arange(cfg.max_disp, dtype=jnp.int32) + cfg.min_disparity
     _, vol = jax.lax.scan(step, None, ds, unroll=_scan_unroll())
@@ -179,6 +188,8 @@ def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
 
         return sgm_aggregate_pallas_sub(vol, cfg.sgm_p1, cfg.sgm_p2)
     p1, p2 = cfg.sgm_p1, cfg.sgm_p2
+    dt = vol.dtype
+    vol = vol.astype(jnp.float32)  # scan path computes in f32 regardless
     # horizontal paths: scan over W with (D, H) state
     vol_w = jnp.transpose(vol, (2, 0, 1))  # (W, D, H)
     lr = _sgm_scan(vol_w, p1, p2, reverse=False)
@@ -189,10 +200,11 @@ def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
     tb = _sgm_scan(vol_h, p1, p2, reverse=False)
     bt = _sgm_scan(vol_h, p1, p2, reverse=True)
     vert = jnp.transpose(tb + bt, (1, 0, 2))  # (D, H, W)
-    return (horiz + vert) / cfg.sgm_paths
+    return ((horiz + vert) / cfg.sgm_paths).astype(dt)
 
 
-def wta_disparity(vol: jnp.ndarray, d_min: int, with_margin: bool = False):
+def wta_disparity(vol: jnp.ndarray, d_min: int, with_margin: bool = False,
+                  subpixel: bool = True):
     """Argmin over D + parabola sub-pixel (matches numpy_ref semantics).
 
     Gather-free: ``take_along_axis`` over the D axis lowers to scatter/gather
@@ -201,29 +213,41 @@ def wta_disparity(vol: jnp.ndarray, d_min: int, with_margin: bool = False):
 
     ``with_margin`` adds a fourth pass computing the uniqueness margin
     (second-best cost at |d − best_d| > 1, minus best) and returns a
-    3-tuple ``(disp, best, margin)``.
+    3-tuple ``(disp, best, margin)``. ``subpixel=False`` skips the parabola
+    (two of the volume passes) and returns integer disparities — enough for
+    the right-view estimate feeding the L/R check.
     """
     D = vol.shape[0]
     best_d = jnp.argmin(vol, axis=0).astype(jnp.int32)  # (H, W)
     ds = jax.lax.broadcasted_iota(jnp.int32, vol.shape, 0)
-    sel = ds == best_d[None]
-    big = jnp.float32(1e9)
-    best = jnp.min(vol, axis=0)
-    vol_up = jnp.concatenate([jnp.full_like(vol[:1], big), vol[:-1]], axis=0)
-    vol_dn = jnp.concatenate([vol[1:], jnp.full_like(vol[:1], big)], axis=0)
-    prev = jnp.sum(jnp.where(sel, vol_up, 0.0), axis=0)
-    nxt = jnp.sum(jnp.where(sel, vol_dn, 0.0), axis=0)
-    denom = prev - 2 * best + nxt
-    offset = jnp.where(
-        (denom > 1e-9) & (best_d > 0) & (best_d < D - 1),
-        0.5 * (prev - nxt) / jnp.maximum(denom, 1e-9),
-        0.0,
-    )
-    disp = d_min + best_d.astype(jnp.float32) + jnp.clip(offset, -1.0, 1.0)
+    big = jnp.asarray(1e9, vol.dtype)
+    # volumes may be stored bf16 (cost_dtype): reductions stream the stored
+    # dtype, all 2D-plane arithmetic below happens in f32
+    best = jnp.min(vol, axis=0).astype(jnp.float32)
+    if subpixel:
+        sel = ds == best_d[None]
+        vol_up = jnp.concatenate([jnp.full_like(vol[:1], big), vol[:-1]],
+                                 axis=0)
+        vol_dn = jnp.concatenate([vol[1:], jnp.full_like(vol[:1], big)],
+                                 axis=0)
+        zero = jnp.zeros((), vol.dtype)
+        prev = jnp.sum(jnp.where(sel, vol_up, zero),
+                       axis=0, dtype=jnp.float32)
+        nxt = jnp.sum(jnp.where(sel, vol_dn, zero),
+                      axis=0, dtype=jnp.float32)
+        denom = prev - 2 * best + nxt
+        offset = jnp.where(
+            (denom > 1e-9) & (best_d > 0) & (best_d < D - 1),
+            0.5 * (prev - nxt) / jnp.maximum(denom, 1e-9),
+            0.0,
+        )
+        disp = d_min + best_d.astype(jnp.float32) + jnp.clip(offset, -1.0, 1.0)
+    else:
+        disp = d_min + best_d.astype(jnp.float32)
     if not with_margin:
         return disp, best
     away = jnp.abs(ds - best_d[None]) > 1
-    second = jnp.min(jnp.where(away, vol, big), axis=0)
+    second = jnp.min(jnp.where(away, vol, big), axis=0).astype(jnp.float32)
     return disp, best, second - best
 
 
@@ -256,18 +280,22 @@ def lr_consistency(
     return inb & (jnp.abs(disp_l - dr) <= thresh)
 
 
-def derive_right_volume(vol: jnp.ndarray, d_min: int) -> jnp.ndarray:
+def derive_right_volume(vol: jnp.ndarray, d_min: int,
+                        fill: float = 1.0) -> jnp.ndarray:
     """Right-view cost volume from the left one: C_R(y, x, d) = C_L(y, x+d, d).
 
     Exact for any cost aggregated by a spatially-invariant filter (the box
     aggregation commutes with the per-disparity shift), so the second
     matching direction costs one volume pass instead of a full rebuild of
-    census + cost + aggregation. Out-of-range samples take the invalid-cost
-    ceiling (1.0). SGM does NOT commute with the shift and still runs per
-    view."""
+    census + cost + aggregation. Out-of-range samples take ``fill`` — the
+    invalid-cost ceiling (1.0) for raw volumes; callers shifting an
+    SGM-AGGREGATED volume (``right_sgm="derived"``) must pass a value above
+    any aggregated cost so padding never wins the right-view WTA. SGM does
+    not commute with the shift exactly; shifting the aggregated volume is
+    the standard single-volume approximation (libSGM / OpenCV CUDA SGM)."""
     D, h, w = vol.shape
     pad = max(abs(d_min), abs(d_min + D - 1)) + 1
-    volp = jnp.pad(vol, ((0, 0), (0, 0), (pad, pad)), constant_values=1.0)
+    volp = jnp.pad(vol, ((0, 0), (0, 0), (pad, pad)), constant_values=fill)
     ds = jnp.arange(D, dtype=jnp.int32) + d_min
 
     def step(_, args):
@@ -298,15 +326,23 @@ def compute_disparity(
     right = right.astype(jnp.float32)
 
     vol_l = build_cost_volume(left, right, valid_l, valid_r, cfg)
-    vol_r = derive_right_volume(vol_l, cfg.min_disparity)
     if aggregation == "sgm":
         agg_l = sgm_aggregate(vol_l, cfg)
-        agg_r = sgm_aggregate(vol_r, cfg)
+        if cfg.right_sgm == "derived":
+            # single-volume L/R: shift the aggregated left volume into the
+            # right frame instead of paying a second full SGM (see
+            # StereoConfig.right_sgm)
+            agg_r = derive_right_volume(agg_l, cfg.min_disparity, fill=1e4)
+        else:
+            agg_r = sgm_aggregate(
+                derive_right_volume(vol_l, cfg.min_disparity), cfg)
     else:
-        agg_l, agg_r = vol_l, vol_r
+        agg_l = vol_l
+        agg_r = derive_right_volume(vol_l, cfg.min_disparity)
     disp_l, cost_l, margin = wta_disparity(agg_l, cfg.min_disparity,
                                            with_margin=True)
-    disp_r, _ = wta_disparity(agg_r, cfg.min_disparity)
+    disp_r, _ = wta_disparity(agg_r, cfg.min_disparity,
+                              subpixel=cfg.right_subpixel)
 
     ok = lr_consistency(disp_l, disp_r, cfg.lr_threshold,
                         d_min=cfg.min_disparity,

@@ -130,8 +130,11 @@ def _make_dir_kernel_sub(reverse: bool, span: int, chunk: int,
                 for u in range(UNROLL):
                     j = jj * UNROLL + u
                     x = j if not reverse else chunk - 1 - j
-                    st = _step_sub(st, inbuf[slot, x], p1, p2)
-                    outbuf[slot, x] = st
+                    # volumes may be stored bf16; the recurrence state and
+                    # arithmetic stay f32 (jnp promotion), stores downcast
+                    st = _step_sub(st, inbuf[slot, x].astype(jnp.float32),
+                                   p1, p2)
+                    outbuf[slot, x] = st.astype(outbuf.dtype)
                 return st
 
             state = jax.lax.fori_loop(0, chunk // UNROLL, pos_body, state)
@@ -153,16 +156,17 @@ def _make_dir_kernel_sub(reverse: bool, span: int, chunk: int,
 
 def _dir_call_sub(vol_sdb, reverse, band, chunk, p1, p2):
     s, dp, bt = vol_sdb.shape
+    dt = vol_sdb.dtype  # bf16 volumes halve the DMA traffic (cost_dtype)
     kernel = _make_dir_kernel_sub(reverse, s, chunk, band, p1, p2)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((s, dp, bt), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((s, dp, bt), dt),
         grid=(bt // band,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, dp, band), jnp.float32),
-            pltpu.VMEM((2, chunk, dp, band), jnp.float32),
+            pltpu.VMEM((2, chunk, dp, band), dt),
+            pltpu.VMEM((2, chunk, dp, band), dt),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -200,11 +204,11 @@ def _make_blocked_kernel(reverse: bool, with_prev: bool, nchunks: int,
 
         def pos(j, st):
             x = j if not reverse else chunk - 1 - j
-            st = _step_sub(st, cost_ref[0, x], p1, p2)
+            st = _step_sub(st, cost_ref[0, x].astype(jnp.float32), p1, p2)
             if prev_ref is not None:
-                out_ref[0, x] = st + prev_ref[0, x]
+                out_ref[0, x] = (st + prev_ref[0, x]).astype(out_ref.dtype)
             else:
-                out_ref[0, x] = st
+                out_ref[0, x] = st.astype(out_ref.dtype)
             return st
 
         state[...] = jax.lax.fori_loop(0, chunk, pos, state[...])
@@ -223,7 +227,7 @@ def _blocked_dir_sum(vol_b, nchunks, chunk, p1, p2):
                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             _make_blocked_kernel(reverse, with_prev, nchunks, p1, p2),
-            out_shape=jax.ShapeDtypeStruct((nb, s, dp, lanes), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((nb, s, dp, lanes), vol_b.dtype),
             grid=(nb, nchunks),
             in_specs=[spec] * len(args),
             out_specs=spec,
@@ -244,7 +248,8 @@ def sgm_aggregate_pallas_blocked(
 ) -> jnp.ndarray:
     """4-path SGM via contiguous-band blocked kernels (the fast TPU path)."""
     d, h, w = vol_dhw.shape
-    dp = int(np.ceil(d / 8) * 8)
+    sub = 16 if vol_dhw.dtype == jnp.bfloat16 else 8
+    dp = int(np.ceil(d / sub) * sub)
     hp = int(np.ceil(h / max(128, chunk)) * max(128, chunk))
     wp = int(np.ceil(w / max(128, chunk)) * max(128, chunk))
     vol = jnp.pad(vol_dhw, ((0, dp - d), (0, 0), (0, 0)), constant_values=BIG)
@@ -280,7 +285,10 @@ def sgm_aggregate_pallas_sub(
 
     Returns the (D, H, W) mean of the four directional aggregations."""
     d, h, w = vol_dhw.shape
-    dp = int(np.ceil(d / 8) * 8)
+    # sublane granularity is dtype-dependent: (8, 128) f32 tiles, (16, 128)
+    # bf16 tiles
+    sub = 16 if vol_dhw.dtype == jnp.bfloat16 else 8
+    dp = int(np.ceil(d / sub) * sub)
     gran = int(np.lcm(band, chunk))  # band divides the grid, chunk the span
     hp = int(np.ceil(h / gran) * gran)
     wp = int(np.ceil(w / gran) * gran)

@@ -142,8 +142,8 @@ def pair_core(
         n1 = jnp.clip(rect1, 0.0, 1.0)
         n2 = jnp.clip(rect2, 0.0, 1.0)
     else:
-        n1, _ = normalise_image(rect1, mask1)
-        n2, _ = normalise_image(rect2, mask2)
+        n1, _ = normalise_image(rect1, mask1, subsample=cfg.norm_subsample)
+        n2, _ = normalise_image(rect2, mask2, subsample=cfg.norm_subsample)
 
     # shrink validity away from undefined borders (ref post_process_undefined,
     # processing.py:35-41: binary_dilation of the invalid region x24)

@@ -219,8 +219,9 @@ class StreamingAOIPipeline:
 
             m1 = r1 >= 0
             m2 = r2 >= 0
-            r1 = jnp.where(m1, normalise_image(r1, m1)[0], -1.0)
-            r2 = jnp.where(m2, normalise_image(r2, m2)[0], -1.0)
+            ss = cfg_s.norm_subsample
+            r1 = jnp.where(m1, normalise_image(r1, m1, subsample=ss)[0], -1.0)
+            r2 = jnp.where(m2, normalise_image(r2, m2, subsample=ss)[0], -1.0)
             M, b = triangulation_operator(geom)
             pad = halo
             r1p = jnp.pad(r1, ((pad, pad + (-H) % band), (0, 0)),

@@ -150,3 +150,32 @@ def test_refine_fills_invalid(pair):
     inner[4:-4, 20:-4] = True
     # filled field should stay close to truth almost everywhere
     assert np.quantile(err[inner], 0.9) < 1.5
+
+
+def test_bf16_cost_volume_matches_f32(pair):
+    """cost_dtype="bfloat16" must agree with f32 to sub-pixel tolerance.
+
+    The TPU production path stores cost/aggregation volumes in bf16
+    (StereoConfig.cost_dtype="auto"); CPU tests resolve "auto" to f32, so
+    this is the explicit cross-dtype check that the quantisation stays
+    below the matcher's own sub-pixel noise floor.
+    """
+    import dataclasses
+
+    left, right, true_disp = pair
+    v = jnp.ones(left.shape, bool)
+    cfg32 = dataclasses.replace(CFG, cost_dtype="float32")
+    cfg16 = dataclasses.replace(CFG, cost_dtype="bfloat16")
+    r32 = compute_disparity(jnp.asarray(left), jnp.asarray(right), v, v, cfg32)
+    r16 = compute_disparity(jnp.asarray(left), jnp.asarray(right), v, v, cfg16)
+    both = np.asarray(r32.valid) & np.asarray(r16.valid)
+    assert both.mean() > 0.5
+    d32 = np.asarray(r32.disparity)[both]
+    d16 = np.asarray(r16.disparity)[both]
+    # integer WTA decisions should almost never flip; sub-pixel offsets may
+    # wiggle within the parabola's own noise
+    assert (np.abs(d32 - d16) <= 1.0).mean() > 0.995
+    assert np.median(np.abs(d32 - d16)) < 0.25
+    # validity masks mostly agree
+    agree = (np.asarray(r32.valid) == np.asarray(r16.valid)).mean()
+    assert agree > 0.95
