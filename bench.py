@@ -108,6 +108,9 @@ def main():
     # full signed 288-px search (gain ≈ 5.3 px/m over 48 m of relief).
     d288 = _bench_d288()
 
+    # --- Multi-day fusion throughput (BASELINE.json metric: points/sec) ---
+    fusion = _bench_fusion()
+
     # Completeness: fraction of the OBSERVABLE canvas (pixels where both
     # rectified images carry data — the epipolar-rotated footprints cover
     # only ~30% of their padded bounding canvas) that yields a valid height.
@@ -134,6 +137,7 @@ def main():
                 "valid_fraction_ge_0.5": bool(valid_fraction >= 0.5),
             },
             "d288": d288,
+            "fusion": fusion,
             "device": str(jax.devices()[0]),
         },
     }
@@ -160,9 +164,66 @@ def _device_time_per_frame(core, r1, r2, M, b, stereo_cfg, k=10):
     t0 = time.perf_counter()
     float(rtt_probe())
     rtt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):  # best-of-2: the shared tunnel shows rare slow reps
+        t0 = time.perf_counter()
+        float(rep(r1, r2, M, b))
+        best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
+    return best / k
+
+
+def _bench_fusion(n_points: int = 1 << 22, k_rep: int = 8):
+    """Multi-day fusion throughput: robust DSM gridding of scattered points.
+
+    Times :func:`pcmi_tpu.pipelines.streaming.dsm_update` (segment-sum
+    scatter + 3-round tile-local sigma rejection — the accumulation every
+    streamed tile pays) over ``n_points`` synthetic points on a 1024x1024
+    1 m grid, K in-graph repeats per dispatch. Reported as points/sec
+    (the BASELINE.json fusion metric).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pcmi_tpu.pipelines.streaming import StreamingDSM, dsm_update
+
+    rng = np.random.default_rng(7)
+    ny = nx = 1024
+    xy = jnp.asarray(
+        rng.uniform(0, [nx * 1.0, ny * 1.0], (n_points, 2)).astype(np.float32))
+    values = jnp.asarray(
+        (rng.normal(20.0, 5.0, n_points)
+         + np.where(rng.uniform(size=n_points) < 0.02,
+                    rng.normal(0, 80.0, n_points), 0.0)).astype(np.float32))
+    weights = jnp.ones((n_points,), jnp.float32)
+    acc0 = StreamingDSM(wsum=jnp.zeros((ny, nx)), vsum=jnp.zeros((ny, nx)),
+                        vsq=jnp.zeros((ny, nx)))
+
+    @jax.jit
+    def rep(xy, values, weights):
+        def body(carry, _):
+            acc = dsm_update(
+                acc0, xy + carry * 1e-20, values, weights,
+                (0.0, 0.0), 1.0, (ny, nx), robust_sigma=3.0)
+            return carry + jnp.sum(acc.vsum), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k_rep)
+        return c
+
+    float(rep(xy, values, weights))  # compile + warm
+    probe = jax.jit(lambda: jnp.float32(1.0))
+    float(probe())
     t0 = time.perf_counter()
-    float(rep(r1, r2, M, b))
-    return max(time.perf_counter() - t0 - rtt, 1e-9) / k
+    float(probe())
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(rep(xy, values, weights))
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / k_rep
+    return {
+        "n_points": n_points,
+        "grid": [ny, nx],
+        "points_per_s": round(n_points / dt, 0),
+        "ms_per_update": round(dt * 1e3, 2),
+    }
 
 
 def _bench_d288():

@@ -267,9 +267,18 @@ def grid_fuse(
 
     Two-pass robust mean per cell: plain weighted mean, then re-mean after
     rejecting samples > ``robust_sigma`` cell-stddevs from it. Returns
-    ``(dsm, count)`` with NaN where a cell received no samples. All scatter
-    work is ``segment_sum`` on flattened cell ids — TPU-friendly, no sorting.
+    ``(dsm, count)`` with NaN where a cell received no samples.
+
+    TPU-shaped: per-cell statistics come from one sort by cell id plus
+    segmented scans (:mod:`pcmi_tpu.ops.segmented` — random-access
+    scatter/gather runs ~5x slower than streaming sort+scan on TPU); the
+    only scatters are the two packed ``segment_sum`` grid writes.
     """
+    from pcmi_tpu.ops.segmented import (
+        segment_totals_at_points,
+        sort_by_segment,
+    )
+
     ny, nx = shape
     gx = jnp.floor((xy[..., 0] - origin[0]) / cell).astype(jnp.int32)
     gy = jnp.floor((xy[..., 1] - origin[1]) / cell).astype(jnp.int32)
@@ -280,18 +289,19 @@ def grid_fuse(
     w = w.reshape(-1)
 
     num = ny * nx
-    wsum = jax.ops.segment_sum(w, ids, num_segments=num)
-    vsum = jax.ops.segment_sum(w * v, ids, num_segments=num)
-    mean = vsum / jnp.maximum(wsum, 1e-12)
-    vsq = jax.ops.segment_sum(w * v * v, ids, num_segments=num)
-    var = jnp.maximum(vsq / jnp.maximum(wsum, 1e-12) - mean * mean, 0.0)
-    std = jnp.sqrt(var)
+    ids, v, w, boundary = sort_by_segment(ids, v, w)
+    ws_p, vs_p, vq_p = segment_totals_at_points(boundary, w, w * v, w * v * v)
+    mean_p = vs_p / jnp.maximum(ws_p, 1e-12)
+    std_p = jnp.sqrt(
+        jnp.maximum(vq_p / jnp.maximum(ws_p, 1e-12) - mean_p**2, 0.0))
 
     # robust second pass: reject samples far from their cell mean
-    resid = jnp.abs(v - mean[ids])
-    keep = w * (resid <= robust_sigma * std[ids] + 1e-6)
-    wsum2 = jax.ops.segment_sum(keep, ids, num_segments=num)
-    vsum2 = jax.ops.segment_sum(keep * v, ids, num_segments=num)
+    keep = w * (jnp.abs(v - mean_p) <= robust_sigma * std_p + 1e-6)
+    packed = jax.ops.segment_sum(
+        jnp.stack([w, w * v, keep, keep * v], axis=-1), ids,
+        num_segments=num)
+    wsum, vsum, wsum2, vsum2 = (packed[:, k] for k in range(4))
+    mean = vsum / jnp.maximum(wsum, 1e-12)
     use2 = wsum2 > 0
     fused = jnp.where(use2, vsum2 / jnp.maximum(wsum2, 1e-12), mean)
     fused = jnp.where(wsum > 0, fused, jnp.nan)

@@ -41,6 +41,18 @@ def create(name: str) -> SatellitePlugin:
     return _FACTORIES[name]()
 
 
+def groups() -> Dict[str, List[str]]:
+    """Plugins grouped the way the reference host tabs them per member
+    (``viewer.py:436-492``: Jasraj / Marcin / Rafael / Stan QTabWidgets).
+    Only registered (non-degraded) plugins appear; plugins without a group
+    land under "other"."""
+    _ensure_builtin()
+    out: Dict[str, List[str]] = {}
+    for name in sorted(_FACTORIES):
+        out.setdefault(_GROUPS.get(name, "other"), []).append(name)
+    return out
+
+
 _BUILTIN_SPECS = [
     # (registry name, module, attribute)
     ("height-map", "pcmi_tpu.pipelines.height_map", "HeightMapExtractor"),
@@ -54,6 +66,19 @@ _BUILTIN_SPECS = [
     ("generative-restoration", "pcmi_tpu.pipelines.generative",
      "RestorationGenerativePlugin"),
 ]
+
+# member tabs of the reference host (viewer.py:436-492)
+_GROUPS = {
+    "restoration": "jasraj",
+    "stitching": "jasraj",
+    "land-use": "jasraj",
+    "detection": "jasraj",
+    "generative-restoration": "marcin",
+    "height-map": "rafael",
+    "saliency": "rafael",
+    "super-resolution": "stan",
+    "inpainting": "stan",
+}
 
 _loaded = False
 

@@ -254,6 +254,11 @@ def main() -> int:
 
     viewer.window.add_dock_widget(load_dataset, name="dataset")
 
+    # per-member tab grouping (ref viewer.py:436-492: one QTabWidget per
+    # member) — dock widgets of one member tabify together
+    member_of = {n: g for g, names in registry.groups().items()
+                 for n in names}
+    first_in_group: Dict[str, Any] = {}
     for name in registry.available():
         plugin = registry.create(name)
         runner = PluginRunner(plugin, viewer=viewer)
@@ -303,7 +308,17 @@ def main() -> int:
             return bound
 
         widget = magicgui(call_button=f"Run {plugin.name}")(make_run(runner))
-        viewer.window.add_dock_widget(widget, name=plugin.name)
+        group = member_of.get(name, "other")
+        dock = viewer.window.add_dock_widget(
+            widget, name=f"{group}: {plugin.name}", area="right")
+        if group in first_in_group:
+            try:  # tab this member's widgets together like the reference
+                viewer.window._qt_window.tabifyDockWidget(
+                    first_in_group[group], dock)
+            except Exception:
+                pass  # non-Qt/mock hosts: grouping is cosmetic
+        else:
+            first_in_group[group] = dock
 
     napari.run()
     return 0

@@ -192,3 +192,16 @@ def test_demo_layers_shapes():
     assert len(layers) >= 3
     kinds = {k for _, _, k in layers}
     assert kinds == {"image"}
+
+
+def test_registry_member_groups():
+    """Per-member grouping covers every registered plugin exactly once
+    (ref viewer.py:436-492 tabs plugins by member)."""
+    from pcmi_tpu import registry
+
+    groups = registry.groups()
+    grouped = [n for names in groups.values() for n in names]
+    assert sorted(grouped) == registry.available()
+    # the four member tabs of the reference all exist when nothing degraded
+    if not registry.failures():
+        assert {"jasraj", "marcin", "rafael", "stan"} <= set(groups)
