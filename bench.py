@@ -68,7 +68,8 @@ def main():
     # fetches ONE scalar, subtracts the measured fetch round-trip, and
     # divides by K. The carry-dependent input perturbation (+carry*1e-20)
     # defeats CSE across scan iterations.
-    dt = _device_time_per_frame(pair_core, r1, r2, M, b, stereo_cfg, k=10)
+    dt, prod = _device_time_per_frame(pair_core, r1, r2, M, b, stereo_cfg,
+                                      k=10)
     h, w = geom.out_shape
     mpix_tpu = h * w / dt / 1e6
 
@@ -89,18 +90,19 @@ def main():
         dt_cpu = min(dt_cpu, time.perf_counter() - t0)
     mpix_cpu = ch * cw / dt_cpu / 1e6
 
-    # accuracy vs exact synthetic truth (the BASELINE ≤1 m RMSE gate)
-    product = pair_core(r1, r2, M, b, stereo_cfg)
-    valid = np.asarray(product.valid)
+    # accuracy vs exact synthetic truth (the BASELINE ≤1 m RMSE gate) —
+    # computed from the timing executable's final product (no extra compile)
+    p_height, p_xyz, p_valid = prod
+    valid = np.asarray(p_valid)
     ox, oy = scene.ground_origin
     terr = np.asarray(scene.terrain)
-    gx = (np.asarray(product.xyz[..., 0]) - ox) / scene.ground_gsd
-    gy = (np.asarray(product.xyz[..., 1]) - oy) / scene.ground_gsd
+    gx = (np.asarray(p_xyz[..., 0]) - ox) / scene.ground_gsd
+    gy = (np.asarray(p_xyz[..., 1]) - oy) / scene.ground_gsd
     inb = (gx >= 0) & (gx < terr.shape[1] - 1) & (gy >= 0) & (gy < terr.shape[0] - 1)
     tt = terr[np.clip(gy.astype(int), 0, terr.shape[0] - 1),
               np.clip(gx.astype(int), 0, terr.shape[1] - 1)]
     m = valid & inb
-    err = np.asarray(product.height)[m] - tt[m]
+    err = np.asarray(p_height)[m] - tt[m]
     rmse = float(np.sqrt(np.mean(err**2))) if m.any() else float("nan")
 
     # --- Reference disparity envelope: MAX_DISP=288 (ref constants.py:54-57)
@@ -145,31 +147,47 @@ def main():
 
 
 def _device_time_per_frame(core, r1, r2, M, b, stereo_cfg, k=10):
-    """Seconds of device time per pair_core frame (K in-graph repeats)."""
+    """(seconds-per-frame, last product) for pair_core, K in-graph repeats.
+
+    The final iteration's product rides along in the scan carry (no
+    stacking), so the accuracy metrics reuse THIS compiled executable —
+    the remote compile service on this rig is slow and heavily shared, so
+    every avoided compilation matters more than any runtime trim.
+    """
     import jax
     import jax.numpy as jnp
 
+    h, w = r1.shape
+
     @jax.jit
     def rep(a, b_, M_, bb):
+        init_prod = (jnp.zeros((h, w)), jnp.zeros((h, w, 3)),
+                     jnp.zeros((h, w), bool))
+
         def body(carry, _):
-            out = core(a + carry * 1e-20, b_, M_, bb, stereo_cfg)
-            return carry + jnp.nansum(out.height), None
+            acc, _prev = carry
+            out = core(a + acc * 1e-20, b_, M_, bb, stereo_cfg)
+            return (acc + jnp.nansum(out.height),
+                    (out.height, out.xyz, out.valid)), None
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
-        return acc
+        (acc, prod), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), init_prod), None, length=k)
+        return acc, prod
 
-    float(rep(r1, r2, M, b))  # compile + warm
+    float(rep(r1, r2, M, b)[0])  # compile + warm
     rtt_probe = jax.jit(lambda: jnp.float32(1.0))
     float(rtt_probe())
     t0 = time.perf_counter()
     float(rtt_probe())
     rtt = time.perf_counter() - t0
     best = float("inf")
+    prod = None
     for _ in range(2):  # best-of-2: the shared tunnel shows rare slow reps
         t0 = time.perf_counter()
-        float(rep(r1, r2, M, b))
+        acc, prod = rep(r1, r2, M, b)
+        float(acc)
         best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
-    return best / k
+    return best / k, prod
 
 
 def _bench_fusion(n_points: int = 1 << 22, k_rep: int = 8):
@@ -264,20 +282,21 @@ def _bench_d288():
     )
     M, b = triangulation_operator(geom)
 
-    dt = _device_time_per_frame(pair_core, r1, r2, M, b, stereo_cfg, k=5)
+    dt, prod = _device_time_per_frame(pair_core, r1, r2, M, b, stereo_cfg,
+                                      k=5)
     h, w = geom.out_shape
 
-    product = pair_core(r1, r2, M, b, stereo_cfg)
-    valid = np.asarray(product.valid)
+    p_height, p_xyz, p_valid = prod
+    valid = np.asarray(p_valid)
     ox, oy = scene.ground_origin
     terr = np.asarray(scene.terrain)
-    gx = (np.asarray(product.xyz[..., 0]) - ox) / scene.ground_gsd
-    gy = (np.asarray(product.xyz[..., 1]) - oy) / scene.ground_gsd
+    gx = (np.asarray(p_xyz[..., 0]) - ox) / scene.ground_gsd
+    gy = (np.asarray(p_xyz[..., 1]) - oy) / scene.ground_gsd
     inb = (gx >= 0) & (gx < terr.shape[1] - 1) & (gy >= 0) & (gy < terr.shape[0] - 1)
     tt = terr[np.clip(gy.astype(int), 0, terr.shape[0] - 1),
               np.clip(gx.astype(int), 0, terr.shape[1] - 1)]
     m = valid & inb
-    err = np.asarray(product.height)[m] - tt[m]
+    err = np.asarray(p_height)[m] - tt[m]
     rmse = float(np.sqrt(np.mean(err**2))) if m.any() else float("nan")
     observable = (np.asarray(r1) >= 0) & (np.asarray(r2) >= 0)
     vf = float(valid.sum() / max(observable.sum(), 1))

@@ -2,24 +2,41 @@
 
 Random-access scatter (``segment_sum``) and gather (``table[ids]``) run at
 ~140 M elements/s on TPU — they serialise on HBM random access. A
-multi-operand sort streams at ~730 M elements/s, and associative scans are
+multi-operand sort streams at ~730 M elements/s, and cumulative ops are
 pure streaming VPU work. Any "per-cell statistics, then per-point
 comparison" pattern (robust gridding, voxel filters, per-cell z-gates) is
 therefore ~an order of magnitude faster as:
 
   1. ONE ``lax.sort`` keyed on cell id, payloads carried along (no explicit
      permutation gathers),
-  2. per-segment totals via a SEGMENTED scan (running sums reset at run
-     boundaries — f32-safe: magnitudes stay per-segment, unlike the
-     cumsum-difference trick which cancels catastrophically),
-  3. a backward "propagate segment total to every member" scan,
-  4. per-point elementwise work in the sorted domain,
-  5. a single (optionally multi-payload) ``segment_sum`` only for the final
+  2. per-segment totals via blocked NATIVE cumulative ops (below),
+  3. per-point elementwise work in the sorted domain,
+  4. a single (optionally multi-payload) ``segment_sum`` only for the final
      grid write.
 
-Measured on the bench rig (4.2 M points → 1 M cells): the 3-round robust
-gate drops from 547 ms (12 scatters + 6 gathers) to ~1/7th with this
-formulation (see ``bench.py`` fusion entry).
+Implementation constraints discovered on this toolchain (keep them):
+
+* ``lax.associative_scan`` with tuple operands compiles pathologically on
+  TPU at multi-million-element sizes — tens of minutes, in both 1-D and
+  blocked 2-D form. Only the NATIVE cumulative primitives (``cumsum``,
+  ``cummax``/``cummin``) compile and run sanely, so everything below is
+  built from those plus one tiny sequential ``lax.scan`` over block
+  carries.
+* The segmented running sum "reset at each boundary" is recovered
+  gather-free via monotonicity: for NON-NEGATIVE payloads the in-block
+  cumsum ``S`` is non-decreasing, so the prefix value at each point's most
+  recent segment boundary is ``cummax(where(boundary, S_exclusive, -1))``
+  — the latest boundary always carries the largest prefix. Signed payloads
+  are handled by shifting with their global min and adding
+  ``min * segment_count`` back (counts are a non-negative payload).
+* Per-point segment TOTALS need no second propagation pass:
+  ``total = forward_run + backward_run - x`` (inclusive from both sides,
+  self counted twice). The backward run is the same primitive on reversed
+  arrays with end-marks as starts.
+* Global cumsum differences are NOT an alternative: at tens of millions of
+  f32 samples the prefix magnitude makes per-segment differences cancel
+  catastrophically. Blocked per-segment running sums keep magnitudes
+  segment-local.
 
 No counterpart in the reference: its fusion stage was advertised but never
 implemented (SURVEY §2.2); scipy/PCL equivalents are host-side.
@@ -27,10 +44,18 @@ implemented (SURVEY §2.2); scipy/PCL equivalents are host-side.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Block width of the two-level scans. The per-block carry combine is a
+# sequential lax.scan over N/_LANES steps — the dominant cost at small
+# widths (1024 → 150 ms AND a 5-minute compile at 4.2 M points on TPU;
+# 16384 → 20 ms / 8 s compile). In-block cumsum magnitude stays
+# ≤ _LANES·max|x| ≈ 4e5 for metre-scale payloads → f32 ulp ~0.03 on
+# segment totals, far below the sigma-gate's noise floor.
+_LANES = 16384
 
 
 def sort_by_segment(ids: jnp.ndarray, *payloads: jnp.ndarray):
@@ -46,44 +71,72 @@ def sort_by_segment(ids: jnp.ndarray, *payloads: jnp.ndarray):
     return (*sorted_ops, boundary)
 
 
-def _seg_run_sums(boundary: jnp.ndarray, vals: Sequence[jnp.ndarray]):
-    """Running within-segment sums (reset at each boundary), one pass for
-    all ``vals``."""
+def _blocked_run_sums(boundary: jnp.ndarray,
+                      xs: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Within-segment INCLUSIVE running sums of non-negative ``xs``.
 
-    def op(a, b):
-        fa, *sa = a
-        fb, *sb = b
-        return (fa | fb, *[jnp.where(fb, y, x + y) for x, y in zip(sa, sb)])
-
-    out = jax.lax.associative_scan(op, (boundary, *vals))
-    return out[1:]
-
-
-def _propagate_back(boundary: jnp.ndarray, vals: Sequence[jnp.ndarray]):
-    """Give every element its segment's LAST value, one pass for all
-    ``vals``.
-
-    The last element of a segment is the one whose successor starts a new
-    run; scanning the reversed arrays, those become carriers that override
-    until the next (reversed) end-mark.
+    Blocked ``(nb, LANES)`` layout; native cumsum/cummax in-block, one tiny
+    sequential scan combines the per-block carries (the running sum of a
+    block's last open run flows into the next block's pre-first-boundary
+    prefix).
     """
+    n = boundary.shape[0]
+    nb = -(-n // _LANES)
+    pad = nb * _LANES - n
+    # padding opens a fresh zero-weight segment: it cannot leak carries
+    f2 = jnp.pad(boundary, (0, pad), constant_values=True).reshape(nb, _LANES)
+    seen = jnp.cumsum(f2.astype(jnp.int32), axis=1) > 0
+    any_b = f2.any(axis=1)
+
+    outs: List[jnp.ndarray] = []
+    run_ins = []
+    tails = []
+    for x in xs:
+        x2 = jnp.pad(x, (0, pad)).reshape(nb, _LANES)
+        s2 = jnp.cumsum(x2, axis=1)
+        # prefix at the most recent in-block boundary: monotone s ⇒ cummax
+        base = jax.lax.cummax(jnp.where(f2, s2 - x2, -1.0), axis=1)
+        run_in = s2 - jnp.where(seen, jnp.maximum(base, 0.0), 0.0)
+        run_ins.append(run_in)
+        tails.append(run_in[:, -1])
+
+    def carry_step(c, inp):
+        any_j, tail_j = inp
+        nxt = [jnp.where(any_j, t, cj + t) for cj, t in zip(c, tail_j)]
+        return nxt, c
+
+    zeros = [jnp.zeros((), x.dtype) for x in xs]
+    _, carries = jax.lax.scan(carry_step, zeros,
+                              (any_b, [t for t in tails]))
+    for run_in, carry in zip(run_ins, carries):
+        out = run_in + jnp.where(seen, 0.0, carry[:, None])
+        outs.append(out.reshape(-1)[:n])
+    return outs
+
+
+def _totals_nonneg(boundary: jnp.ndarray,
+                   xs: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Per-point segment totals of non-negative ``xs``:
+    forward run + backward run − self."""
+    fwd = _blocked_run_sums(boundary, xs)
     end = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
-    rend = end[::-1]
-
-    def op(a, b):
-        fa, *va = a
-        fb, *vb = b
-        return (fa | fb, *[jnp.where(fb, y, x) for x, y in zip(va, vb)])
-
-    out = jax.lax.associative_scan(op, (rend, *[v[::-1] for v in vals]))
-    return [o[::-1] for o in out[1:]]
+    bwd = _blocked_run_sums(end[::-1], [x[::-1] for x in xs])
+    return [f + b[::-1] - x for f, b, x in zip(fwd, bwd, xs)]
 
 
 def segment_totals_at_points(boundary: jnp.ndarray,
                              *vals: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
-    """Per-point segment totals of each of ``vals`` (sorted domain)."""
-    runs = _seg_run_sums(boundary, vals)
-    return tuple(_propagate_back(boundary, runs))
+    """Per-point segment totals of each of ``vals`` (sorted domain).
+
+    Signed values are shifted non-negative by their global min and the
+    shift is restored via the per-segment member count.
+    """
+    ones = jnp.ones_like(vals[0])
+    mins = [jnp.minimum(jnp.min(v), 0.0) for v in vals]
+    shifted = [v - m for v, m in zip(vals, mins)]
+    outs = _totals_nonneg(boundary, [ones, *shifted])
+    counts = outs[0]
+    return tuple(o + m * counts for o, m in zip(outs[1:], mins))
 
 
 def robust_sigma_gate(
@@ -100,13 +153,18 @@ def robust_sigma_gate(
     the scatter/gather formulation it replaces
     (:func:`pcmi_tpu.pipelines.streaming.dsm_update`'s tile-local gate) at
     ~an order of magnitude less HBM random access.
+
+    The mean/std are shift-invariant, so the non-negativity shift of the
+    value payloads (``v - min(v)``) drops out of the gate comparison.
     """
+    vshift = v - jnp.min(v)          # w0 ≥ 0 and vshift ≥ 0 ⇒ all payloads ≥ 0
     w = w0
     for _ in range(max(rounds, 1)):
-        ws, vs, vq = segment_totals_at_points(boundary, w, w * v, w * v * v)
+        ws, vs, vq = _totals_nonneg(
+            boundary, [w, w * vshift, w * vshift * vshift])
         mean = vs / jnp.maximum(ws, 1e-12)
         std = jnp.sqrt(jnp.maximum(vq / jnp.maximum(ws, 1e-12) - mean**2,
                                    0.0))
-        keep = jnp.abs(v - mean) <= sigma * std + 1e-6
+        keep = jnp.abs(vshift - mean) <= sigma * std + 1e-6
         w = w0 * keep
     return w

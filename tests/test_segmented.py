@@ -29,12 +29,14 @@ def test_segment_totals_match_numpy():
         jnp.asarray(ids), jnp.asarray(v), jnp.asarray(w))
     ws, vs = segment_totals_at_points(boundary, w_s, w_s * v_s)
 
+    # fwd+bwd-self totals: each member accumulates its own f32 rounding, so
+    # members of one segment can differ by a few ulps of the running sums
     order = np.argsort(ids, kind="stable")
     np.testing.assert_allclose(
-        np.asarray(ws), _np_segment_totals(ids[order], w[order]), rtol=2e-5)
+        np.asarray(ws), _np_segment_totals(ids[order], w[order]), rtol=1e-4)
     np.testing.assert_allclose(
         np.asarray(vs), _np_segment_totals(ids[order], (w * v)[order]),
-        rtol=2e-5)
+        rtol=1e-4)
 
 
 def test_singleton_and_empty_segments():
@@ -63,3 +65,26 @@ def test_robust_gate_rejects_outlier_keeps_inliers():
     v_sorted = np.asarray(v_s)
     assert w[v_sorted == 500.0].sum() == 0.0          # outlier rejected
     assert w[v_sorted != 500.0].mean() > 0.98         # inliers kept
+
+
+def test_block_carry_paths(monkeypatch):
+    """Segments spanning block boundaries get correct totals: shrink the
+    block width so the 4096-element fixture crosses many blocks."""
+    import pcmi_tpu.ops.segmented as S
+
+    monkeypatch.setattr(S, "_LANES", 128)
+    rng = np.random.default_rng(3)
+    n = 2048
+    # long segments (avg ~64 members) guarantee many cross-block runs
+    ids = np.sort(rng.integers(0, 32, n)).astype(np.int32)
+    v = rng.normal(5, 2, n).astype(np.float32)
+    w = rng.uniform(0, 1, n).astype(np.float32)
+    ids_s, v_s, w_s, boundary = sort_by_segment(
+        jnp.asarray(ids), jnp.asarray(v), jnp.asarray(w))
+    ws, vs = segment_totals_at_points(boundary, w_s, w_s * v_s)
+    order = np.argsort(ids, kind="stable")
+    np.testing.assert_allclose(
+        np.asarray(ws), _np_segment_totals(ids[order], w[order]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(vs), _np_segment_totals(ids[order], (w * v)[order]),
+        rtol=1e-4)
