@@ -206,7 +206,11 @@ def cmd_fuse(args) -> int:
                        points_per_pair=1 << 16, with_kmeans=True,
                        grid_cell=2.0)
     os.makedirs(args.output, exist_ok=True)
-    write_tiff(os.path.join(args.output, "dsm.tif"), np.asarray(fused.dsm))
+    # real GeoTIFF georeferencing for the local frame (row 0 at min-y →
+    # negative row step per the GeoTIFF raster→model convention)
+    write_tiff(os.path.join(args.output, "dsm.tif"), np.asarray(fused.dsm),
+               geo={"origin": fused.grid_origin,
+                    "scale": (fused.grid_cell, -fused.grid_cell)})
     keep = np.asarray(fused.weights) > 0
     pts = np.asarray(fused.points)[keep]
     write_ply(os.path.join(args.output, "fused_cloud.ply"), pts, pts[:, 2])
@@ -248,10 +252,11 @@ def cmd_stream(args) -> int:
     out = StreamingAOIPipeline(cfg).run(images, rpcs, metas, lon_r, lat_r,
                                         grid_cell=1.0)
     os.makedirs(args.output, exist_ok=True)
+    geo = {"origin": out["origin"], "scale": (out["cell"], -out["cell"])}
     write_tiff(os.path.join(args.output, "dsm.tif"),
-               np.asarray(out["dsm"], np.float32))
+               np.asarray(out["dsm"], np.float32), geo=geo)
     write_tiff(os.path.join(args.output, "n_pairs.tif"),
-               np.asarray(out["n_pairs_per_cell"], np.float32))
+               np.asarray(out["n_pairs_per_cell"], np.float32), geo=geo)
     _write_hillshade(os.path.join(args.output, "hillshade.png"),
                      out["dsm"], out["cell"])
     print(json.dumps({

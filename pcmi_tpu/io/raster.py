@@ -114,13 +114,32 @@ def read_tiff(path: str) -> np.ndarray:
     return arr[:, :, 0] if spp == 1 else arr
 
 
-def write_tiff(path: str, img: np.ndarray, tags: Optional[dict] = None) -> None:
+# GeoTIFF tags (spec 6.0 + GeoTIFF 1.1) and the GeoKeys the pipeline emits
+_T_PIXEL_SCALE = 33550      # ModelPixelScaleTag, DOUBLE[3]
+_T_TIEPOINT = 33922         # ModelTiepointTag, DOUBLE[6]
+_T_GEO_KEYS = 34735         # GeoKeyDirectoryTag, SHORT[4n]
+_GK_MODEL_TYPE = 1024       # 1 projected / 2 geographic
+_GK_RASTER_TYPE = 1025      # 1 PixelIsArea
+_GK_GEOGRAPHIC_CS = 2048    # EPSG geographic code (4326)
+_GK_PROJECTED_CS = 3072     # EPSG projected code (326xx UTM, ...)
+
+
+def write_tiff(path: str, img: np.ndarray, tags: Optional[dict] = None,
+               geo: Optional[dict] = None) -> None:
     """Write an uncompressed little-endian strip TIFF (one strip).
 
-    ``tags`` (geo metadata: RPC dict, crop window, ...) go to a sidecar
-    ``<path>.aux.json`` — the in-repo stand-in for GeoTIFF keys, mirroring
-    the reference's habit of dropping ``.npy`` crop-info next to rasters
-    (``preprocessing.py:88-93``).
+    ``geo`` writes REAL GeoTIFF georeferencing (readable by GDAL/QGIS,
+    parity with the reference's ``gdal.Translate`` GTiff outputs):
+    ``{"origin": (x0, y0), "scale": (sx, sy), "epsg": 4326}`` — origin is
+    the outer corner of pixel (0, 0), ``sy`` positive (north-up row step),
+    ``epsg`` a geographic (4326) or projected (e.g. 32632) code; omit
+    ``epsg`` for a local/engineering frame (keys then mark the CRS
+    user-defined, 32767).
+
+    ``tags`` (RPC dict, crop window, ...) still go to a sidecar
+    ``<path>.aux.json`` — structured metadata that has no TIFF tag,
+    mirroring the reference's habit of dropping ``.npy`` crop-info next to
+    rasters (``preprocessing.py:88-93``).
     """
     img = np.ascontiguousarray(img)
     if img.ndim == 2:
@@ -134,46 +153,107 @@ def write_tiff(path: str, img: np.ndarray, tags: Optional[dict] = None) -> None:
     )
     data = img.astype(img.dtype.newbyteorder("<")).tobytes()
 
-    entries = []  # (tag, type, count, value_or_bytes)
+    entries = []  # (tag, type, values)
     def add(tag, typ, vals):
         entries.append((tag, typ, vals))
 
-    data_off = 8 + 2 + 12 * 11 + 4 + 6 * spp  # header+ifd+next+bits array room
     add(_T_WIDTH, 4, [w])
     add(_T_HEIGHT, 4, [h])
     add(_T_BITS, 3, [bits] * spp)
     add(_T_COMPRESSION, 3, [1])
     add(_T_PHOTO, 3, [1])
-    add(_T_STRIP_OFFSETS, 4, [data_off])
+    add(_T_STRIP_OFFSETS, 4, [0])       # patched once data_off is known
     add(_T_SPP, 3, [spp])
     add(_T_ROWS_PER_STRIP, 4, [h])
     add(_T_STRIP_COUNTS, 4, [len(data)])
     add(_T_PLANAR, 3, [1])
     add(_T_SAMPLE_FORMAT, 3, [fmt] * spp)
+    if geo:
+        sx, sy = geo.get("scale", (1.0, 1.0))
+        x0, y0 = geo.get("origin", (0.0, 0.0))
+        add(_T_PIXEL_SCALE, 12, [float(sx), float(sy), 0.0])
+        add(_T_TIEPOINT, 12, [0.0, 0.0, 0.0, float(x0), float(y0), 0.0])
+        epsg = geo.get("epsg")
+        if epsg is None:
+            model, cs_key, cs = 1, _GK_PROJECTED_CS, 32767  # user-defined
+        elif 4000 <= int(epsg) < 5000:
+            model, cs_key, cs = 2, _GK_GEOGRAPHIC_CS, int(epsg)
+        else:
+            model, cs_key, cs = 1, _GK_PROJECTED_CS, int(epsg)
+        keys = [
+            (_GK_MODEL_TYPE, 0, 1, model),
+            (_GK_RASTER_TYPE, 0, 1, 1),
+            (cs_key, 0, 1, cs),
+        ]
+        directory = [1, 1, 0, len(keys)]
+        for k in keys:
+            directory += list(k)
+        add(_T_GEO_KEYS, 3, directory)
 
+    # generic layout: header + IFD + next-ptr, then out-of-line values,
+    # then pixel data
+    n = len(entries)
+    ext_base = 8 + 2 + 12 * n + 4
+    ext_size = sum(
+        _TYPE_SIZES[typ] * len(vals)
+        for _, typ, vals in entries
+        if _TYPE_SIZES[typ] * len(vals) > 4
+    )
+    data_off = ext_base + ext_size
+    for i, (tag, typ, vals) in enumerate(entries):
+        if tag == _T_STRIP_OFFSETS:
+            entries[i] = (tag, typ, [data_off])
+
+    pack_char = {3: "H", 4: "I", 12: "d"}
     ext = b""
-    ext_base = 8 + 2 + 12 * len(entries) + 4
     out = struct.pack("<HHI", 0x4949, 42, 8)
-    out += struct.pack("<H", len(entries))
+    out += struct.pack("<H", n)
     for tag, typ, vals in sorted(entries):
         count = len(vals)
         size = _TYPE_SIZES[typ] * count
-        pack_char = {3: "H", 4: "I"}[typ]
         if size <= 4:
-            raw = struct.pack(f"<{count}{pack_char}", *vals)
+            raw = struct.pack(f"<{count}{pack_char[typ]}", *vals)
             raw += b"\0" * (4 - len(raw))
             out += struct.pack("<HHI", tag, typ, count) + raw
         else:
             out += struct.pack("<HHII", tag, typ, count, ext_base + len(ext))
-            ext += struct.pack(f"<{count}{pack_char}", *vals)
+            ext += struct.pack(f"<{count}{pack_char[typ]}", *vals)
     out += struct.pack("<I", 0)  # next IFD
     out += ext
-    out += b"\0" * (data_off - len(out))
+    assert len(out) == data_off, (len(out), data_off)
     with open(path, "wb") as fh:
         fh.write(out + data)
     if tags:
         with open(path + ".aux.json", "w", encoding="utf-8") as fh:
             json.dump(tags, fh, default=float)
+
+
+def read_geo(path: str) -> Optional[dict]:
+    """Georeferencing of a (Geo)TIFF written by :func:`write_tiff` (or any
+    baseline GeoTIFF): ``{"origin", "scale", "epsg"}``; None if absent."""
+    with open(path, "rb") as fh:
+        buf = fh.read()  # IFD may sit anywhere (foreign writers put it last)
+    if buf[:2] not in (b"II", b"MM"):
+        raise ValueError(f"not a TIFF: {path}")
+    bo = "<" if buf[:2] == b"II" else ">"
+    (off,) = struct.unpack_from(bo + "I", buf, 4)
+    entries = _read_ifd_entries(buf, off, bo)
+    if _T_PIXEL_SCALE not in entries or _T_TIEPOINT not in entries:
+        return None
+    scale = entries[_T_PIXEL_SCALE]
+    tie = entries[_T_TIEPOINT]
+    epsg = None
+    if _T_GEO_KEYS in entries:
+        d = entries[_T_GEO_KEYS]
+        for k in range(4, len(d) - 3, 4):
+            if d[k] in (_GK_GEOGRAPHIC_CS, _GK_PROJECTED_CS) \
+                    and d[k + 3] != 32767:
+                epsg = int(d[k + 3])
+    return {
+        "origin": (float(tie[3]), float(tie[4])),
+        "scale": (float(scale[0]), float(scale[1])),
+        "epsg": epsg,
+    }
 
 
 def read_aux(path: str) -> dict:

@@ -156,3 +156,32 @@ def test_crop_window_and_rpc_shift():
     # AOI outside the image must raise
     with pytest.raises(ValueError):
         crop_window_from_extent(rpc, (10.0, 10.1), (10.0, 10.1), (64, 64))
+
+
+def test_geotiff_tags_roundtrip(tmp_path):
+    """write_tiff(geo=...) emits real GeoTIFF tags (pixel scale, tiepoint,
+    GeoKeys) that read_geo recovers — and the raster still reads back."""
+    from pcmi_tpu.io.raster import read_geo, read_tiff, write_tiff
+
+    img = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = str(tmp_path / "geo.tif")
+    write_tiff(p, img, geo={"origin": (11.25, 47.5),
+                            "scale": (1e-5, -1e-5), "epsg": 4326})
+    np.testing.assert_array_equal(read_tiff(p), img)
+    g = read_geo(p)
+    assert g is not None
+    np.testing.assert_allclose(g["origin"], (11.25, 47.5))
+    np.testing.assert_allclose(g["scale"], (1e-5, -1e-5))
+    assert g["epsg"] == 4326
+
+    # local/engineering frame: no EPSG, keys mark the CRS user-defined
+    p2 = str(tmp_path / "local.tif")
+    write_tiff(p2, img, geo={"origin": (100.0, 250.0), "scale": (1.0, -1.0)})
+    g2 = read_geo(p2)
+    assert g2["epsg"] is None
+    np.testing.assert_allclose(g2["origin"], (100.0, 250.0))
+
+    # plain write: no geo tags
+    p3 = str(tmp_path / "plain.tif")
+    write_tiff(p3, img)
+    assert read_geo(p3) is None
