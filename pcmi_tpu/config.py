@@ -44,16 +44,18 @@ class StereoConfig:
     # "auto": Pallas kernels on TPU, XLA scans elsewhere; "pallas"/"xla" force
     sgm_backend: str = "auto"
     # Right-view disparity for the L/R consistency check:
-    #   "full" (default) — run SGM on the derived right cost volume (the
-    #   analogue of cv2.ximgproc.createRightMatcher's full second pass).
-    #   "derived" — WTA over the LEFT aggregated volume shifted to the right
-    #   frame (C_R(y,x,d) = C_L(y,x+d,d)); the standard single-volume trick
-    #   (libSGM / OpenCV CUDA SGM do the same), saving the second SGM pass
-    #   (~20% of the matcher). Measured trade-off: the L/R check loses some
-    #   independence from the left view, +0.0-0.25 m RMSE on synthetic
-    #   truth scenes — use where throughput matters more than the last
-    #   quarter-metre.
-    right_sgm: str = "full"
+    #   "horizontal" (default) — SGM on the derived right cost volume with
+    #   the two HORIZONTAL paths only. The right view's sole consumer is
+    #   the L/R check; measured quality-neutral vs the full 4-path right
+    #   matcher (±0.01 m RMSE on synthetic truth) at half the second SGM's
+    #   cost.
+    #   "full" — 4-path SGM on the derived right volume (the analogue of
+    #   cv2.ximgproc.createRightMatcher's full second pass).
+    #   "derived" — WTA over the LEFT aggregated volume shifted to the
+    #   right frame (C_R(y,x,d) = C_L(y,x+d,d)); the standard single-volume
+    #   trick (libSGM / OpenCV CUDA SGM), cheapest but the check loses
+    #   independence: +0.0-0.25 m RMSE measured.
+    right_sgm: str = "horizontal"
     # Sub-pixel parabola for the right-view WTA: off by default — the L/R
     # check tolerates integer right disparities (|dL - dR| <= 1.5 px) and
     # the parabola costs two extra full-volume passes.

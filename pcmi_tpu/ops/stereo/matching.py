@@ -175,8 +175,14 @@ def _sgm_scan(vol_t: jnp.ndarray, p1: float, p2: float, reverse: bool):
     return out
 
 
-def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
-    """4-path semi-global aggregation of a (D, H, W) cost volume.
+def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig,
+                  dirs: str = "4") -> jnp.ndarray:
+    """Semi-global aggregation of a (D, H, W) cost volume.
+
+    ``dirs`` — "4" (L→R, R→L, T→B, B→T) or "h" (the two horizontal paths
+    only, at half the cost; used for the right-view volume whose sole
+    consumer is the L/R consistency check — measured quality-neutral
+    there).
 
     Dispatches to the Pallas kernel path on TPU (``cfg.sgm_backend``):
     the scan formulation below is the portable/parity reference."""
@@ -186,7 +192,8 @@ def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
     if use_pallas:
         from pcmi_tpu.ops.stereo.pallas_kernels import sgm_aggregate_pallas_sub
 
-        return sgm_aggregate_pallas_sub(vol, cfg.sgm_p1, cfg.sgm_p2)
+        return sgm_aggregate_pallas_sub(vol, cfg.sgm_p1, cfg.sgm_p2,
+                                        dirs=dirs)
     p1, p2 = cfg.sgm_p1, cfg.sgm_p2
     dt = vol.dtype
     vol = vol.astype(jnp.float32)  # scan path computes in f32 regardless
@@ -195,6 +202,8 @@ def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
     lr = _sgm_scan(vol_w, p1, p2, reverse=False)
     rl = _sgm_scan(vol_w, p1, p2, reverse=True)
     horiz = jnp.transpose(lr + rl, (1, 2, 0))  # (D, H, W)
+    if dirs == "h":
+        return (horiz / 2.0).astype(dt)
     # vertical paths: scan over H with (D, W) state
     vol_h = jnp.transpose(vol, (1, 0, 2))  # (H, D, W)
     tb = _sgm_scan(vol_h, p1, p2, reverse=False)
@@ -335,7 +344,8 @@ def compute_disparity(
             agg_r = derive_right_volume(agg_l, cfg.min_disparity, fill=1e4)
         else:
             agg_r = sgm_aggregate(
-                derive_right_volume(vol_l, cfg.min_disparity), cfg)
+                derive_right_volume(vol_l, cfg.min_disparity), cfg,
+                dirs="h" if cfg.right_sgm == "horizontal" else "4")
     else:
         agg_l = vol_l
         agg_r = derive_right_volume(vol_l, cfg.min_disparity)

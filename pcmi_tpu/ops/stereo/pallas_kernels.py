@@ -273,17 +273,20 @@ def sgm_aggregate_pallas_blocked(
     return out[:d, :h, :w]
 
 
-@partial(jax.jit, static_argnames=("p1", "p2", "band", "chunk"))
+@partial(jax.jit, static_argnames=("p1", "p2", "band", "chunk", "dirs"))
 def sgm_aggregate_pallas_sub(
     vol_dhw: jnp.ndarray,
     p1: float,
     p2: float,
     band: int = 128,
     chunk: int = 16,
+    dirs: str = "4",
 ) -> jnp.ndarray:
-    """4-path SGM on a (D, H, W) volume, disparity-on-sublanes kernels.
+    """SGM on a (D, H, W) volume, disparity-on-sublanes kernels.
 
-    Returns the (D, H, W) mean of the four directional aggregations."""
+    Returns the (D, H, W) mean of the directional aggregations —
+    ``dirs="4"`` all four paths, ``dirs="h"`` the two horizontal paths
+    (half the kernel work; see :func:`matching.sgm_aggregate`)."""
     d, h, w = vol_dhw.shape
     # sublane granularity is dtype-dependent: (8, 128) f32 tiles, (16, 128)
     # bf16 tiles
@@ -295,14 +298,16 @@ def sgm_aggregate_pallas_sub(
     vol = jnp.pad(vol_dhw, ((0, dp - d), (0, 0), (0, 0)), constant_values=BIG)
     vol = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w)))
 
-    vol_v = jnp.swapaxes(vol, 0, 1)            # (H, D, W): scan rows
-    tb = _dir_call_sub(vol_v, False, band, chunk, p1, p2)
-    bt = _dir_call_sub(vol_v, True, band, chunk, p1, p2)
     vol_h = jnp.transpose(vol, (2, 0, 1))      # (W, D, H): scan cols
     lr = _dir_call_sub(vol_h, False, band, chunk, p1, p2)
     rl = _dir_call_sub(vol_h, True, band, chunk, p1, p2)
-    out = (jnp.swapaxes(tb + bt, 0, 1)
-           + jnp.transpose(lr + rl, (1, 2, 0))) * 0.25
+    horiz = jnp.transpose(lr + rl, (1, 2, 0))
+    if dirs == "h":
+        return (horiz * 0.5)[:d, :h, :w]
+    vol_v = jnp.swapaxes(vol, 0, 1)            # (H, D, W): scan rows
+    tb = _dir_call_sub(vol_v, False, band, chunk, p1, p2)
+    bt = _dir_call_sub(vol_v, True, band, chunk, p1, p2)
+    out = (jnp.swapaxes(tb + bt, 0, 1) + horiz) * 0.25
     return out[:d, :h, :w]
 
 
