@@ -190,10 +190,28 @@ def cmd_height_map(args) -> int:
     return 0
 
 
+def _write_north_up(path: str, img: "np.ndarray",
+                    origin_min_xy, cell: float) -> None:
+    """Write a grid whose row 0 sits at min-y as a north-up GeoTIFF.
+
+    GeoTIFF's raster→model transform is Y = Y0 - row*ScaleY with ScaleY
+    positive; GDAL/QGIS warn on (and by default abs()) a negative ScaleY.
+    So flip rows, anchor the tiepoint at the max-y outer corner, and keep
+    sy positive — matching write_tiff's documented convention.
+    """
+    from pcmi_tpu.io.raster import write_tiff
+
+    x0, y0 = origin_min_xy
+    ny = img.shape[0]
+    write_tiff(path, np.ascontiguousarray(img[::-1]),
+               geo={"origin": (float(x0), float(y0) + ny * float(cell)),
+                    "scale": (float(cell), float(cell))})
+
+
 def cmd_fuse(args) -> int:
     from pcmi_tpu.config import PipelineConfig, from_flat_overrides
     from pcmi_tpu.geometry.pairs import ImageMeta
-    from pcmi_tpu.io.raster import write_ply, write_tiff
+    from pcmi_tpu.io.raster import write_ply
     from pcmi_tpu.pipelines.multiday import MultiDayFusion
 
     cfg = from_flat_overrides(PipelineConfig(), _parse_overrides(args.set))
@@ -206,11 +224,9 @@ def cmd_fuse(args) -> int:
                        points_per_pair=1 << 16, with_kmeans=True,
                        grid_cell=2.0)
     os.makedirs(args.output, exist_ok=True)
-    # real GeoTIFF georeferencing for the local frame (row 0 at min-y →
-    # negative row step per the GeoTIFF raster→model convention)
-    write_tiff(os.path.join(args.output, "dsm.tif"), np.asarray(fused.dsm),
-               geo={"origin": fused.grid_origin,
-                    "scale": (fused.grid_cell, -fused.grid_cell)})
+    _write_north_up(os.path.join(args.output, "dsm.tif"),
+                    np.asarray(fused.dsm), fused.grid_origin,
+                    fused.grid_cell)
     keep = np.asarray(fused.weights) > 0
     pts = np.asarray(fused.points)[keep]
     write_ply(os.path.join(args.output, "fused_cloud.ply"), pts, pts[:, 2])
@@ -241,7 +257,6 @@ def cmd_stream(args) -> int:
     """Streaming whole-AOI pipeline (BASELINE configs 3-4)."""
     from pcmi_tpu.config import PipelineConfig, from_flat_overrides
     from pcmi_tpu.geometry.pairs import ImageMeta
-    from pcmi_tpu.io.raster import write_tiff
     from pcmi_tpu.pipelines.streaming import StreamingAOIPipeline
 
     cfg = from_flat_overrides(PipelineConfig(), _parse_overrides(args.set))
@@ -252,11 +267,12 @@ def cmd_stream(args) -> int:
     out = StreamingAOIPipeline(cfg).run(images, rpcs, metas, lon_r, lat_r,
                                         grid_cell=1.0)
     os.makedirs(args.output, exist_ok=True)
-    geo = {"origin": out["origin"], "scale": (out["cell"], -out["cell"])}
-    write_tiff(os.path.join(args.output, "dsm.tif"),
-               np.asarray(out["dsm"], np.float32), geo=geo)
-    write_tiff(os.path.join(args.output, "n_pairs.tif"),
-               np.asarray(out["n_pairs_per_cell"], np.float32), geo=geo)
+    _write_north_up(os.path.join(args.output, "dsm.tif"),
+                    np.asarray(out["dsm"], np.float32),
+                    out["origin"], out["cell"])
+    _write_north_up(os.path.join(args.output, "n_pairs.tif"),
+                    np.asarray(out["n_pairs_per_cell"], np.float32),
+                    out["origin"], out["cell"])
     _write_hillshade(os.path.join(args.output, "hillshade.png"),
                      out["dsm"], out["cell"])
     print(json.dumps({

@@ -120,6 +120,15 @@ class StereoConfig:
             raise ValueError("only 4-path SGM (L/R/T/B) is implemented")
         if self.cost_type != "census_ad":
             raise ValueError(f"unknown cost_type {self.cost_type!r}")
+        # tri-state strings: a typo must not silently buy the most
+        # expensive fallback branch (e.g. right_sgm="horiz" → full 4-path)
+        if self.right_sgm not in ("horizontal", "full", "derived"):
+            raise ValueError(f"unknown right_sgm {self.right_sgm!r} "
+                             "(expected horizontal/full/derived)")
+        if self.sgm_backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown sgm_backend {self.sgm_backend!r}")
+        if self.cost_dtype not in ("auto", "bfloat16", "float32"):
+            raise ValueError(f"unknown cost_dtype {self.cost_dtype!r}")
 
     @property
     def min_disparity(self) -> int:

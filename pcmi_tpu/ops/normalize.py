@@ -44,13 +44,24 @@ def robust_bounds(img: jnp.ndarray, mask: jnp.ndarray, nb: float = 8.0,
     from the median of its every-s-th-pixel grid, while the full-array sort
     XLA emits for the exact quantile dominates the whole normalisation cost.
     """
+    def _med_mad(im, mk):
+        med = _masked_quantile(im, mk, jnp.asarray(0.5))
+        mad = _masked_quantile(jnp.abs(im - med), mk, jnp.asarray(0.5))
+        return med, mad
+
     if subsample > 1 and img.ndim == 2:
         img_q = img[::subsample, ::subsample]
         mask_q = mask[::subsample, ::subsample]
+        # a sparse mask (thin footprint sliver confined to odd rows/cols)
+        # can leave the strided grid with ~no valid pixels — fall back to
+        # the exact full-resolution estimate rather than degenerate bounds
+        med, mad = jax.lax.cond(
+            jnp.sum(mask_q) >= 64,
+            lambda: _med_mad(img_q, mask_q),
+            lambda: _med_mad(img, mask),
+        )
     else:
-        img_q, mask_q = img, mask
-    med = _masked_quantile(img_q, mask_q, jnp.asarray(0.5))
-    mad = _masked_quantile(jnp.abs(img_q - med), mask_q, jnp.asarray(0.5))
+        med, mad = _med_mad(img, mask)
     lo = med - nb * mad
     hi = med + nb * mad
     return lo, hi

@@ -287,6 +287,9 @@ def grid_fuse(
     ids = jnp.where(inb, gy * nx + gx, 0).reshape(-1)
     v = values.reshape(-1).astype(jnp.float32)
     w = w.reshape(-1)
+    # zero-weight members must not carry NaN/Inf/wild values into the
+    # segmented totals (they would poison the global shift there)
+    v = jnp.where(w > 0, v, 0.0)
 
     num = ny * nx
     ids, v, w, boundary = sort_by_segment(ids, v, w)

@@ -130,6 +130,11 @@ def segment_totals_at_points(boundary: jnp.ndarray,
 
     Signed values are shifted non-negative by their global min and the
     shift is restored via the per-segment member count.
+
+    ``vals`` must be finite everywhere — a single NaN/Inf (or wild
+    magnitude) entry, even one a caller considers masked-out, poisons or
+    degrades the global shift. Callers neutralise zero-weight members
+    first (e.g. ``v = where(w > 0, v, 0)``).
     """
     ones = jnp.ones_like(vals[0])
     mins = [jnp.minimum(jnp.min(v), 0.0) for v in vals]
@@ -156,8 +161,15 @@ def robust_sigma_gate(
 
     The mean/std are shift-invariant, so the non-negativity shift of the
     value payloads (``v - min(v)``) drops out of the gate comparison.
+
+    Zero-weight members are neutralised before the global-min shift so a
+    NaN/Inf or wild value riding along with w0 == 0 cannot poison the
+    whole tile (it only ever contributed 0 to the totals).
     """
-    vshift = v - jnp.min(v)          # w0 ≥ 0 and vshift ≥ 0 ⇒ all payloads ≥ 0
+    valid = w0 > 0
+    vmin = jnp.min(jnp.where(valid, v, jnp.inf))
+    vmin = jnp.where(jnp.isfinite(vmin), jnp.minimum(vmin, 0.0), 0.0)
+    vshift = jnp.where(valid, v - vmin, 0.0)  # w0 ≥ 0, vshift ≥ 0 on valid
     w = w0
     for _ in range(max(rounds, 1)):
         ws, vs, vq = _totals_nonneg(

@@ -185,3 +185,24 @@ def test_geotiff_tags_roundtrip(tmp_path):
     p3 = str(tmp_path / "plain.tif")
     write_tiff(p3, img)
     assert read_geo(p3) is None
+
+
+def test_cli_north_up_geotiff(tmp_path):
+    """CLI DSM products are north-up GeoTIFFs: positive ScaleY, tiepoint at
+    the max-y outer corner, rows flipped so row 0 is the northernmost —
+    the convention GDAL/QGIS read without GTIFF_HONOUR_NEGATIVE_SCALEY."""
+    from pcmi_tpu.cli import _write_north_up
+    from pcmi_tpu.io.raster import read_geo, read_tiff
+
+    ny, nx, cell = 5, 4, 2.0
+    dsm = np.arange(ny * nx, dtype=np.float32).reshape(ny, nx)  # row 0 at min-y
+    p = str(tmp_path / "dsm.tif")
+    _write_north_up(p, dsm, origin_min_xy=(100.0, 200.0), cell=cell)
+    g = read_geo(p)
+    assert g["scale"][1] > 0, "ScaleY must be positive (north-up)"
+    np.testing.assert_allclose(g["origin"], (100.0, 200.0 + ny * cell))
+    img = read_tiff(p)
+    # pixel (row r, col c) maps to model Y = Y0 - (r + .5) * sy; the cell
+    # at max model-y (r=0) must hold the LAST row of the min-y-first grid
+    np.testing.assert_array_equal(img[0], dsm[-1])
+    np.testing.assert_array_equal(img[-1], dsm[0])
