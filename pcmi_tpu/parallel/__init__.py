@@ -7,6 +7,7 @@ from pcmi_tpu.parallel.mesh import (
     pair_sharding,
     replicated,
 )
+from pcmi_tpu.parallel.fusion_sharded import sharded_dsm_update
 from pcmi_tpu.parallel.halo import halo_exchange_rows, sharded_rows_map
 from pcmi_tpu.parallel.multihost import (
     DCN_AXIS,
@@ -28,6 +29,7 @@ __all__ = [
     "make_mesh",
     "pair_sharding",
     "replicated",
+    "sharded_dsm_update",
     "halo_exchange_rows",
     "sharded_rows_map",
     "batched_pair_step",
