@@ -25,8 +25,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from pcmi_tpu.pipelines.streaming import StreamingDSM, dsm_update
-
 
 def sharded_dsm_update(
     mesh: Mesh,
@@ -44,6 +42,10 @@ def sharded_dsm_update(
     mesh device count. The robust gate (``robust_sigma > 0``) is tile-local
     per block, exactly like the sequential streaming loop.
     """
+    # lazy: pipelines.streaming imports pcmi_tpu.parallel (halo sizing), so
+    # a module-level import here would be circular
+    from pcmi_tpu.pipelines.streaming import StreamingDSM, dsm_update
+
     axes = tuple(mesh.axis_names)
 
     def per_shard(xy, values, weights):
