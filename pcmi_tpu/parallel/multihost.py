@@ -75,11 +75,18 @@ def make_multihost_mesh(data: int = 1, tile: Optional[int] = None) -> Mesh:
         grid = np.array(jax.devices()).reshape(1, data, tile)
         return Mesh(grid, (DCN_AXIS, "data", "tile"))
 
-    from jax.experimental import mesh_utils
+    try:
+        from jax.experimental import mesh_utils
 
-    grid = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(data, tile),
-        dcn_mesh_shape=(n_proc, 1),
-        devices=jax.devices(),
-    )
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(data, tile),
+            dcn_mesh_shape=(n_proc, 1),
+            devices=jax.devices(),
+        )
+    except ValueError:
+        # Devices without distinct slice indices (multi-process CPU, or a
+        # single slice spanning hosts): group by process so the leading
+        # axis still aligns with DCN boundaries.
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        grid = np.array(devs)
     return Mesh(grid.reshape(n_proc, data, tile), (DCN_AXIS, "data", "tile"))

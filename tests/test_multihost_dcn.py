@@ -1,0 +1,58 @@
+"""Two-process jax.distributed smoke test (VERDICT r2 item 4).
+
+Spawns two real OS processes, each with 4 virtual CPU devices, joined by a
+jax.distributed coordinator into one 8-device runtime; builds the hybrid
+(dcn, data, tile) mesh and runs a cross-process psum plus a stereo
+pair-step sharded over the dcn axis. This exercises
+``multihost.initialize()`` for real — the single-process fallback path is
+covered by ``test_parallel.py``.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(600)
+def test_two_process_dcn_mesh():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_multihost_worker.py")
+    coord = f"127.0.0.1:{_free_port()}"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # each worker provisions its own 4 virtual devices; scrub any inherited
+    # device-count pin (the pytest process uses 8)
+    env["XLA_FLAGS"] = ""
+    # extend, never overwrite: the axon sitecustomize must stay importable
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", worker, str(pid), coord],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"WORKER{pid} OK" in out, out
