@@ -113,6 +113,10 @@ def main():
     # --- Multi-day fusion throughput (BASELINE.json metric: points/sec) ---
     fusion = _bench_fusion()
 
+    # --- Per-family accuracy sweep (VERDICT r2 item 2): every scene family
+    # must hold the ≤1 m gate with the production fast paths on ---
+    families = _bench_families()
+
     # Completeness: fraction of the OBSERVABLE canvas (pixels where both
     # rectified images carry data — the epipolar-rotated footprints cover
     # only ~30% of their padded bounding canvas) that yields a valid height.
@@ -140,6 +144,7 @@ def main():
             },
             "d288": d288,
             "fusion": fusion,
+            "families": families,
             "device": str(jax.devices()[0]),
         },
     }
@@ -242,6 +247,43 @@ def _bench_fusion(n_points: int = 1 << 22, k_rep: int = 8):
         "points_per_s": round(n_points / dt, 0),
         "ms_per_update": round(dt * 1e3, 2),
     }
+
+
+def _bench_families():
+    """Accuracy per synthetic scene family (urban / steep / low-texture /
+    noisy / cross-date — ``pcmi_tpu.geometry.synthetic.SCENE_FAMILIES``).
+
+    All families share shapes and geometry-derived config, so ONE compiled
+    pair_core executable serves the whole sweep. Gates: RMSE ≤ 1 m per
+    family plus per-family completeness floors (lowtex is a per-pixel
+    SNR ~ 1 scene where the noise-adaptive gates trade coverage for
+    accuracy — see tests/test_scene_families.py).
+    """
+    from pcmi_tpu.config import PipelineConfig, RectifyConfig, StereoConfig
+    from pcmi_tpu.geometry.synthetic import SCENE_FAMILIES, make_family_scene
+    from pcmi_tpu.pipelines.evaluation import evaluate_pair_accuracy
+
+    h_range = (0.0, 40.0)
+    cfg = PipelineConfig(
+        stereo=StereoConfig(block_size=9, census_window=5,
+                            margin_undefined=8),
+        rectify=RectifyConfig(height_range=h_range),
+    )
+    floors = {"lowtex": 0.02, "noisy": 0.45}
+    out = {}
+    for family in sorted(SCENE_FAMILIES):
+        scene = make_family_scene(family, seed=11, out_shape=(448, 448),
+                                  ground_shape=(640, 640), h_range=h_range)
+        score = evaluate_pair_accuracy(scene, cfg)
+        floor = floors.get(family, 0.5)
+        out[family] = {
+            "rmse_m": round(score["rmse_m"], 3),
+            "bias_m": round(score["bias_m"], 3),
+            "completeness": round(score["completeness"], 3),
+            "pass": bool(score["rmse_m"] <= 1.0
+                         and score["completeness"] >= floor),
+        }
+    return out
 
 
 def _bench_d288():

@@ -97,6 +97,19 @@ class StereoConfig:
     edge_grad_threshold: float = 0.8 # |∇median-disp| above this = discontinuity
     edge_dilation: int = 6           # half-width of the invalidated band (px)
     photo_threshold: float = 0.1     # max photoconsistency residual [0, 1]
+    # The photo threshold is a FLOOR: the gate adapts upward to
+    # photo_adapt_factor x the median residual of LR-consistent pixels, so
+    # noisy or cross-date-mismatched imagery (where even perfect matches
+    # carry a large residual) does not lose completeness to a fixed bound.
+    # 0 disables adaptation.
+    photo_adapt_factor: float = 3.0
+    # Global WTA uniqueness gate: matches whose best aggregated cost is not
+    # at least min_margin below the best cost >1 px away are rejected as
+    # unreliable (flat/bimodal cost curve — bland texture, repetitive
+    # patterns). The reference runs SGBM with uniquenessRatio=0 and leans on
+    # WLS confidence instead (disparity.py:269,287-310); a margin gate is
+    # the volume-native equivalent. 0 disables.
+    min_margin: float = 0.03
     # Band recovery (densification): re-admit discontinuity-band pixels whose
     # match survives three independent checks — agreement with a small-window
     # (census 3 / block 3, no SGM) cross-matcher, a WTA cost-uniqueness
@@ -105,11 +118,40 @@ class StereoConfig:
     # rejecting foreground-fattening blunders (the reference densifies with
     # its second WLS pass instead, ``disparity.py:129-155``).
     band_recover: bool = True
+    # Window 3 keeps the checker's fattening radius and smoothness bias
+    # maximally independent of the main (block 9 + SGM) pass — window 5
+    # measurably admits correlated junk on steep-convergence fine-GSD
+    # scenes (the reference's MAX_DISP=288 regime); noise robustness comes
+    # from the ADAPTIVE input smoothing below instead of a bigger window.
     band_check_census: int = 3       # census window of the cross-matcher
     band_check_block: int = 3        # block size of the cross-matcher
     band_agree_threshold: float = 0.5   # max |disp - cross-check| in px
-    band_margin_threshold: float = 0.08 # min (2nd best - best) aggregated cost
+    band_margin_threshold: float = 0.12 # min (2nd best - best) aggregated cost
     band_photo_factor: float = 0.6   # photo bound = factor * photo_threshold
+    # Noise-adaptive recovery: a per-scene SNR proxy (Immerkaer noise
+    # estimate over high-pass signal, both medians on the valid strided
+    # grid) drives three continuous adaptations, all traced (no recompile):
+    #   * the cross-matcher inputs blend toward a sigma=1 Gaussian smooth
+    #     as the ratio rises (census bits flip under noise; smoothing keeps
+    #     recovery alive on noisy/cross-date imagery),
+    #   * the agree threshold widens by up to +noise_agree_widen px,
+    #   * the band-margin bar ramps up by +noise_margin_ramp as the ratio
+    #     approaches 1 (SNR ~ 1: bland surfaces — recovery evidence is
+    #     untrustworthy, only the strict gated lane should pass).
+    # Calibrated on the six synthetic scene families (clean ~0.5,
+    # cross-date ~0.7, 4x noise ~0.75, low-texture ~1.0). 0 disables.
+    noise_adapt: float = 1.0         # master scale; 0 = off
+    noise_agree_widen: float = 1.0   # px of extra agree slack at ratio>=1
+    noise_margin_ramp: float = 0.3   # extra band margin as ratio -> 1
+    # Coarse disparity stride: search every s-th disparity at FULL image
+    # resolution (volume slice i holds d = d_min + i*s), so every
+    # D-proportional stage (cost volume, SGM, WTA, right view, L/R check,
+    # photoconsistency) does 1/s of the work. Unlike the pyramid matcher
+    # (hierarchical.py) there is no base warp and no texture stretch — the
+    # failure mode that sank coarse-to-fine at discontinuities. Sub-pixel
+    # recovery: parabola at spacing s, whose larger quantisation the
+    # consistency thresholds absorb (see *_eff properties). 1 = exact.
+    disp_stride: int = 1
 
     def __post_init__(self):
         object.__setattr__(self, "max_disp", _round_up(int(self.max_disp), 16))
@@ -129,6 +171,11 @@ class StereoConfig:
             raise ValueError(f"unknown sgm_backend {self.sgm_backend!r}")
         if self.cost_dtype not in ("auto", "bfloat16", "float32"):
             raise ValueError(f"unknown cost_dtype {self.cost_dtype!r}")
+        if self.disp_stride not in (1, 2, 4):
+            raise ValueError(f"disp_stride must be 1, 2 or 4, "
+                             f"got {self.disp_stride!r}")
+        if self.max_disp % self.disp_stride:
+            raise ValueError("max_disp must be a multiple of disp_stride")
 
     @property
     def min_disparity(self) -> int:
@@ -137,6 +184,23 @@ class StereoConfig:
     @property
     def num_disparities(self) -> int:
         return self.max_disp
+
+    # Strided search quantises both WTA estimates to a disp_stride-px grid;
+    # each consistency comparison can move by up to 0.5*(s-1) px per side
+    # from quantisation alone, so the pixel thresholds widen by that much
+    # to keep the REJECTION power aimed at genuine mismatches, not grid
+    # noise (at the default stride 1 these equal the raw thresholds).
+    @property
+    def lr_threshold_eff(self) -> float:
+        return self.lr_threshold + 0.5 * (self.disp_stride - 1)
+
+    @property
+    def lr_threshold_final_eff(self) -> float:
+        return self.lr_threshold_final + 0.5 * (self.disp_stride - 1)
+
+    @property
+    def band_agree_threshold_eff(self) -> float:
+        return self.band_agree_threshold + 0.5 * (self.disp_stride - 1)
 
 
 @dataclass(frozen=True)

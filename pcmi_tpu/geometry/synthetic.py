@@ -123,7 +123,8 @@ def _smooth_noise(key, shape, scales=(4, 16, 64), amps=(1.0, 0.5, 0.25)):
 
 def make_terrain(key, shape=(768, 768), gsd=0.5, h_range=(0.0, 50.0),
                  n_buildings=24, terrain_fraction=0.4,
-                 building_size_px=(8, 48), building_h_m=None):
+                 building_size_px=(8, 48), building_h_m=None,
+                 base_scales=(96, 192)):
     """Smooth relief + boxy 'buildings' with flat roofs (height field, m).
 
     ``terrain_fraction`` is the share of ``h_range`` taken by the smooth
@@ -136,7 +137,7 @@ def make_terrain(key, shape=(768, 768), gsd=0.5, h_range=(0.0, 50.0),
     resolve — real deep relief is mostly smooth topography with ordinary
     buildings on it."""
     k1, k2, k3 = jax.random.split(key, 3)
-    base = _smooth_noise(k1, shape, scales=(96, 192), amps=(1.0, 1.0))
+    base = _smooth_noise(k1, shape, scales=base_scales, amps=(1.0, 1.0))
     base = base - base.min()
     base = base / jnp.maximum(base.max(), 1e-6)
     lo, hi = h_range
@@ -170,11 +171,17 @@ def make_terrain(key, shape=(768, 768), gsd=0.5, h_range=(0.0, 50.0),
     return jnp.asarray(terrain)
 
 
-def make_texture(key, shape=(768, 768)):
-    """High-frequency matchable ortho texture in [0, 1]."""
-    tex = _smooth_noise(key, shape, scales=(2, 8, 32), amps=(1.0, 0.8, 0.6))
+def make_texture(key, shape=(768, 768), scales=(2, 8, 32),
+                 amps=(1.0, 0.8, 0.6), contrast: float = 1.0):
+    """Matchable ortho texture in [0, 1].
+
+    ``scales``/``amps`` set the spatial-frequency mix (larger scales =
+    blander, harder-to-match surfaces); ``contrast < 1`` compresses the
+    dynamic range around mid-grey — the low-texture scene family."""
+    tex = _smooth_noise(key, shape, scales=scales, amps=amps)
     tex = tex - tex.min()
-    return tex / jnp.maximum(tex.max(), 1e-6)
+    tex = tex / jnp.maximum(tex.max(), 1e-6)
+    return 0.5 + contrast * (tex - 0.5)
 
 
 @partial(jax.jit, static_argnames=("out_shape", "iters"))
@@ -243,6 +250,8 @@ def make_stereo_scene(
     radiometric_jitter: float = 0.15,
     origin_lonlat=(TARGET_LON, TARGET_LAT),
     terrain_kwargs: dict | None = None,
+    texture_kwargs: dict | None = None,
+    noise_sigma: float = 0.01,
 ) -> SyntheticScene:
     """Full multi-view scene. ``views`` are (incidence°, azimuth°) per date.
 
@@ -255,7 +264,7 @@ def make_stereo_scene(
     kt, kx, kr = jax.random.split(key, 3)
     terrain = make_terrain(kt, ground_shape, gsd, h_range,
                            **(terrain_kwargs or {}))
-    texture = make_texture(kx, ground_shape)
+    texture = make_texture(kx, ground_shape, **(texture_kwargs or {}))
 
     hg, wg = ground_shape
     origin = (-0.5 * wg * gsd, -0.5 * hg * gsd)
@@ -272,7 +281,7 @@ def make_stereo_scene(
         kr, sub = jax.random.split(kr)
         offset = 0.1 * radiometric_jitter * float(jax.random.normal(sub, ()))
         kr, sub = jax.random.split(kr)
-        noise = 0.01 * jax.random.normal(sub, img.shape)
+        noise = noise_sigma * jax.random.normal(sub, img.shape)
         jimg = jnp.where(img >= 0, jnp.clip(img * gain + offset + noise, 0, 4), -1.0)
         images.append(jimg)
         heights.append(z)
@@ -297,3 +306,48 @@ def aoi_lonlat_ranges(scene: SyntheticScene):
     lon = np.asarray(lon)
     lat = np.asarray(lat)
     return (float(lon.min()), float(lon.max())), (float(lat.min()), float(lat.max()))
+
+
+# ---------------------------------------------------------------------------
+# Scene families — the multi-scene accuracy harness.
+#
+# Each family stresses one failure mode of the dense matcher; the accuracy
+# sweep (bench.py / tests/test_scene_families.py) gates height RMSE per
+# family so no fast path is ever accepted on the scene it was tuned on
+# alone. All families share ``out_shape``, ``h_range`` and ``views`` so one
+# compiled pair_core executable serves the whole sweep (the geometry-derived
+# StereoConfig is identical across families).
+# ---------------------------------------------------------------------------
+
+SCENE_FAMILIES: dict = {
+    # default mix of relief + mid-rise buildings (the historical bench scene)
+    "baseline": {},
+    # discontinuity-dense built-up core: tall buildings, most of the
+    # height budget in vertical steps (foreground fattening / occlusion)
+    "urban": dict(terrain_kwargs=dict(
+        n_buildings=40, terrain_fraction=0.25,
+        building_size_px=(14, 56), building_h_m=(8.0, 24.0))),
+    # steep smooth topography: high-gradient slopes, no steps
+    "steep": dict(terrain_kwargs=dict(
+        terrain_fraction=1.0, n_buildings=6, base_scales=(48, 96))),
+    # bland, low-contrast surfaces (fields / water margins)
+    "lowtex": dict(texture_kwargs=dict(
+        scales=(8, 32, 64), amps=(0.6, 1.0, 0.8), contrast=0.35)),
+    # cross-date radiometric mismatch (the reference normalises this away,
+    # disparity.py:66-70): strong per-view gain/offset drift
+    "crossdate": dict(radiometric_jitter=0.45, noise_sigma=0.02),
+    # sensor noise at 4x the default
+    "noisy": dict(noise_sigma=0.04),
+}
+
+
+def make_family_scene(family: str, seed: int = 11, out_shape=(384, 384),
+                      ground_shape=(512, 512), h_range=(0.0, 40.0),
+                      views=((12.0, 90.0), (22.0, 260.0)),
+                      **overrides) -> SyntheticScene:
+    """Build one scene of a named family (see :data:`SCENE_FAMILIES`)."""
+    kw = dict(SCENE_FAMILIES[family])
+    kw.update(overrides)
+    return make_stereo_scene(seed=seed, out_shape=out_shape,
+                             ground_shape=ground_shape, h_range=h_range,
+                             views=views, **kw)

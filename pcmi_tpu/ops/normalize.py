@@ -114,3 +114,38 @@ def percentile_stretch(
 def to_uint8(img01: jnp.ndarray) -> jnp.ndarray:
     """[0,1] float -> uint8, the boundary convention for display layers."""
     return jnp.clip(img01 * 255.0, 0, 255).astype(jnp.uint8)
+
+
+def snr_ratio(img: jnp.ndarray, mask: jnp.ndarray,
+              subsample: int = 4) -> jnp.ndarray:
+    """Per-scene noise/signal ratio (traced scalar) on normalised imagery.
+
+    Noise: Immerkaer's 2-D Laplacian residual estimator — the median of
+    ``|4f - N4 sum|`` over interior valid pixels, scaled to a Gaussian
+    sigma (1.4826 / sqrt(20)). Signal: the median high-pass amplitude
+    ``|f - G_sigma2(f)|`` over valid pixels. Both medians run on a
+    ``subsample``-strided grid (statistically identical, sort-cost ÷ s²).
+
+    Calibrated on the synthetic scene families: clean imagery ~0.5, strong
+    cross-date radiometric drift ~0.7, 4x sensor noise ~0.75, low-texture
+    (per-pixel SNR ~ 1) ~1.0. Drives the noise-adaptive recovery knobs in
+    :func:`pcmi_tpu.ops.stereo.matching.compute_disparity` and
+    ``pair_core`` (see ``StereoConfig.noise_adapt``).
+    """
+    from pcmi_tpu.ops.filters import gaussian_filter
+
+    f = img.astype(jnp.float32)
+    lap = (4.0 * f[1:-1, 1:-1] - f[:-2, 1:-1] - f[2:, 1:-1]
+           - f[1:-1, :-2] - f[1:-1, 2:])
+    m4 = (mask[1:-1, 1:-1] & mask[:-2, 1:-1] & mask[2:, 1:-1]
+          & mask[1:-1, :-2] & mask[1:-1, 2:])
+    s = subsample
+    noise = _masked_quantile(jnp.abs(lap)[::s, ::s], m4[::s, ::s],
+                             jnp.asarray(0.5)) * (1.4826 / jnp.sqrt(20.0))
+    # signal on the half-res grid with sigma=1 (~ sigma=2 at full res):
+    # the hp/ratio scale is what the noise_adapt ramps are calibrated to
+    fq = f[::2, ::2]
+    hp = jnp.abs(fq - gaussian_filter(fq, sigma=1.0))
+    signal = _masked_quantile(hp[::2, ::2], mask[::2, ::2][::2, ::2],
+                              jnp.asarray(0.5))
+    return noise / jnp.maximum(signal, 1e-6)

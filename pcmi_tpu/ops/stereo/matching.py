@@ -146,7 +146,10 @@ def build_cost_volume(
         # volume write/read traffic dominates the matcher
         return None, _box_edge(cost, cfg.block_size).astype(_cost_dtype(cfg))
 
-    ds = jnp.arange(cfg.max_disp, dtype=jnp.int32) + cfg.min_disparity
+    # disp_stride > 1 searches every s-th disparity (volume slice i holds
+    # d = d_min + i*s) — every D-proportional stage downstream halves
+    ds = jnp.arange(0, cfg.max_disp, cfg.disp_stride,
+                    dtype=jnp.int32) + cfg.min_disparity
     _, vol = jax.lax.scan(step, None, ds, unroll=_scan_unroll())
     return vol
 
@@ -213,7 +216,7 @@ def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig,
 
 
 def wta_disparity(vol: jnp.ndarray, d_min: int, with_margin: bool = False,
-                  subpixel: bool = True):
+                  subpixel: bool = True, stride: int = 1):
     """Argmin over D + parabola sub-pixel (matches numpy_ref semantics).
 
     Gather-free: ``take_along_axis`` over the D axis lowers to scatter/gather
@@ -225,6 +228,10 @@ def wta_disparity(vol: jnp.ndarray, d_min: int, with_margin: bool = False,
     3-tuple ``(disp, best, margin)``. ``subpixel=False`` skips the parabola
     (two of the volume passes) and returns integer disparities — enough for
     the right-view estimate feeding the L/R check.
+
+    ``stride`` is the disparity spacing between volume slices
+    (``StereoConfig.disp_stride``): slice i holds d = d_min + i*stride and
+    the parabola interpolates at that spacing (offset scaled by stride).
     """
     D = vol.shape[0]
     best_d = jnp.argmin(vol, axis=0).astype(jnp.int32)  # (H, W)
@@ -250,9 +257,10 @@ def wta_disparity(vol: jnp.ndarray, d_min: int, with_margin: bool = False,
             0.5 * (prev - nxt) / jnp.maximum(denom, 1e-9),
             0.0,
         )
-        disp = d_min + best_d.astype(jnp.float32) + jnp.clip(offset, -1.0, 1.0)
+        disp = d_min + stride * (best_d.astype(jnp.float32)
+                                 + jnp.clip(offset, -1.0, 1.0))
     else:
-        disp = d_min + best_d.astype(jnp.float32)
+        disp = d_min + stride * best_d.astype(jnp.float32)
     if not with_margin:
         return disp, best
     away = jnp.abs(ds - best_d[None]) > 1
@@ -262,7 +270,7 @@ def wta_disparity(vol: jnp.ndarray, d_min: int, with_margin: bool = False,
 
 def lr_consistency(
     disp_l: jnp.ndarray, disp_r: jnp.ndarray, thresh: float,
-    d_min: int, d_max: int,
+    d_min: int, d_max: int, stride: int = 1,
 ):
     """|dL(x) - dR(x - dL(x))| <= t (ref ``disparity.py:229-250``).
 
@@ -270,18 +278,25 @@ def lr_consistency(
     scanning the *static* disparity range [d_min, d_max] and masking —
     each step is a dynamic slice of a padded plane (contiguous, fast)
     instead of a per-pixel gather. Disparities outside the range fail.
+
+    ``stride > 1`` quantises the lookup shift to the search grid and scans
+    every stride-th shift (half the passes at stride 2); the ≤0.5·stride px
+    lookup quantisation only moves the right-disparity sample by ≤1 px,
+    which the comparison threshold absorbs (callers widen it by
+    0.5·(stride−1); the right field is smooth at that scale away from
+    discontinuities, where the check fails anyway).
     """
     h, w = disp_l.shape
     pad = max(abs(d_min), abs(d_max)) + 1
     rp = jnp.pad(disp_r, ((0, 0), (pad, pad)),
                  constant_values=jnp.float32(1e9))
-    d_round = jnp.round(disp_l)
+    d_round = jnp.round(disp_l / stride) * stride
 
     def step(acc, s):
         shifted = jax.lax.dynamic_slice_in_dim(rp, pad - s, w, axis=1)
         return acc + jnp.where(d_round == s, shifted, 0.0), None
 
-    ds = jnp.arange(d_min, d_max + 1, dtype=jnp.int32)
+    ds = jnp.arange(d_min, d_max + 1, stride, dtype=jnp.int32)
     dr, _ = jax.lax.scan(step, jnp.zeros_like(disp_l), ds, unroll=_scan_unroll())
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     x2 = xs - d_round
@@ -290,7 +305,7 @@ def lr_consistency(
 
 
 def derive_right_volume(vol: jnp.ndarray, d_min: int,
-                        fill: float = 1.0) -> jnp.ndarray:
+                        fill: float = 1.0, stride: int = 1) -> jnp.ndarray:
     """Right-view cost volume from the left one: C_R(y, x, d) = C_L(y, x+d, d).
 
     Exact for any cost aggregated by a spatially-invariant filter (the box
@@ -303,9 +318,9 @@ def derive_right_volume(vol: jnp.ndarray, d_min: int,
     not commute with the shift exactly; shifting the aggregated volume is
     the standard single-volume approximation (libSGM / OpenCV CUDA SGM)."""
     D, h, w = vol.shape
-    pad = max(abs(d_min), abs(d_min + D - 1)) + 1
+    pad = max(abs(d_min), abs(d_min + (D - 1) * stride)) + 1
     volp = jnp.pad(vol, ((0, 0), (0, 0), (pad, pad)), constant_values=fill)
-    ds = jnp.arange(D, dtype=jnp.int32) + d_min
+    ds = jnp.arange(D, dtype=jnp.int32) * stride + d_min
 
     def step(_, args):
         plane, d = args
@@ -323,6 +338,7 @@ def compute_disparity(
     valid_r: jnp.ndarray,
     cfg: StereoConfig = StereoConfig(),
     aggregation: str = "sgm",
+    noise_ratio: jnp.ndarray | None = None,
 ) -> DisparityResult:
     """Full two-direction dense matcher.
 
@@ -330,10 +346,16 @@ def compute_disparity(
     ``"sgm"`` (adds 4-path semi-global smoothing before WTA). The right
     direction reuses the left boxed volume via :func:`derive_right_volume`
     (right-frame convention x1 = x2 + d, matching the L/R check).
+
+    ``noise_ratio`` is the scene's SNR proxy
+    (:func:`pcmi_tpu.ops.normalize.snr_ratio`) driving the noise-adaptive
+    cross-matcher smoothing (``cfg.noise_adapt``); pass it in when already
+    computed (``pair_core`` does), else it is derived from ``left`` here.
     """
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
 
+    stride = cfg.disp_stride
     vol_l = build_cost_volume(left, right, valid_l, valid_r, cfg)
     if aggregation == "sgm":
         agg_l = sgm_aggregate(vol_l, cfg)
@@ -341,22 +363,24 @@ def compute_disparity(
             # single-volume L/R: shift the aggregated left volume into the
             # right frame instead of paying a second full SGM (see
             # StereoConfig.right_sgm)
-            agg_r = derive_right_volume(agg_l, cfg.min_disparity, fill=1e4)
+            agg_r = derive_right_volume(agg_l, cfg.min_disparity, fill=1e4,
+                                        stride=stride)
         else:
             agg_r = sgm_aggregate(
-                derive_right_volume(vol_l, cfg.min_disparity), cfg,
-                dirs="h" if cfg.right_sgm == "horizontal" else "4")
+                derive_right_volume(vol_l, cfg.min_disparity, stride=stride),
+                cfg, dirs="h" if cfg.right_sgm == "horizontal" else "4")
     else:
         agg_l = vol_l
-        agg_r = derive_right_volume(vol_l, cfg.min_disparity)
+        agg_r = derive_right_volume(vol_l, cfg.min_disparity, stride=stride)
     disp_l, cost_l, margin = wta_disparity(agg_l, cfg.min_disparity,
-                                           with_margin=True)
+                                           with_margin=True, stride=stride)
     disp_r, _ = wta_disparity(agg_r, cfg.min_disparity,
-                              subpixel=cfg.right_subpixel)
+                              subpixel=cfg.right_subpixel, stride=stride)
 
-    ok = lr_consistency(disp_l, disp_r, cfg.lr_threshold,
+    ok = lr_consistency(disp_l, disp_r, cfg.lr_threshold_eff,
                         d_min=cfg.min_disparity,
-                        d_max=cfg.min_disparity + cfg.max_disp - 1)
+                        d_max=cfg.min_disparity + cfg.max_disp - 1,
+                        stride=stride)
 
     check = None
     if cfg.band_recover:
@@ -367,10 +391,23 @@ def compute_disparity(
         # band-recovery densification).
         import dataclasses as _dc
 
+        cl, cr = left, right
+        if cfg.noise_adapt > 0:
+            # noise-adaptive checker inputs: census bits flip under noise,
+            # so blend toward a sigma=1 Gaussian smooth as the scene SNR
+            # proxy rises (clean scenes keep the raw, independent checker)
+            from pcmi_tpu.ops.filters import gaussian_filter
+            from pcmi_tpu.ops.normalize import snr_ratio
+
+            if noise_ratio is None:
+                noise_ratio = snr_ratio(left, valid_l)
+            t = cfg.noise_adapt * jnp.clip((noise_ratio - 0.5) / 0.5, 0.0, 1.0)
+            cl = (1.0 - t) * left + t * gaussian_filter(left, sigma=1.0)
+            cr = (1.0 - t) * right + t * gaussian_filter(right, sigma=1.0)
         cfg_s = _dc.replace(cfg, block_size=cfg.band_check_block,
                             census_window=cfg.band_check_census)
-        vol_s = build_cost_volume(left, right, valid_l, valid_r, cfg_s)
-        check, _ = wta_disparity(vol_s, cfg.min_disparity)
+        vol_s = build_cost_volume(cl, cr, valid_l, valid_r, cfg_s)
+        check, _ = wta_disparity(vol_s, cfg.min_disparity, stride=stride)
 
     return DisparityResult(
         disparity=disp_l,
@@ -416,8 +453,9 @@ def refine_disparity(
     # second consistency gate after WLS, ``disparity.py:161``): filled
     # pixels that now agree with the right view are re-admitted
     readmit = lr_consistency(
-        disp, result.disparity_right, cfg.lr_threshold_final,
+        disp, result.disparity_right, cfg.lr_threshold_final_eff,
         d_min=cfg.min_disparity, d_max=cfg.min_disparity + cfg.max_disp - 1,
+        stride=cfg.disp_stride,
     )
     return DisparityResult(
         disparity=disp,

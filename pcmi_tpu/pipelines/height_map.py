@@ -83,7 +83,8 @@ from pcmi_tpu.geometry.rectify import rectify_arrays as _rectify_pair  # noqa: E
 
 def photoconsistency(left: jnp.ndarray, right: jnp.ndarray,
                      disparity: jnp.ndarray,
-                     d_min: int = -160, d_max: int = 160) -> jnp.ndarray:
+                     d_min: int = -160, d_max: int = 160,
+                     stride: int = 1) -> jnp.ndarray:
     """|right(y, x - d) - left(y, x)| on normalised images — the reference's
     warp-difference map (``processing.py:94-115``).
 
@@ -92,17 +93,24 @@ def photoconsistency(left: jnp.ndarray, right: jnp.ndarray,
     weights ``max(0, 1 - |d - s|)`` — each step is one contiguous dynamic
     slice of the padded right image, so the whole map is D streaming VPU
     passes instead of ~1M random gathers.
+
+    ``stride > 1`` scans every stride-th shift with the triangle widened to
+    that spacing — linear interpolation of the right view on a stride-px
+    grid (1/stride of the passes; sub-grid sampling error only matters at
+    high-frequency texture, where the residual is large either way).
     """
     h, w = left.shape
-    pad = max(abs(d_min), abs(d_max)) + 1
+    # grid must reach past d_max so every in-range disparity has two-sided
+    # triangle support; pad sized for the last (overshooting) grid point
+    pad = max(abs(d_min), abs(d_max)) + stride
     rp = jnp.pad(right, ((0, 0), (pad, pad)))
 
     def step(acc, s):
         shifted = jax.lax.dynamic_slice_in_dim(rp, pad - s, w, axis=1)
-        wgt = jnp.maximum(1.0 - jnp.abs(disparity - s), 0.0)
+        wgt = jnp.maximum(1.0 - jnp.abs(disparity - s) / stride, 0.0)
         return acc + wgt * shifted, None
 
-    ds = jnp.arange(d_min, d_max + 1, dtype=jnp.int32)
+    ds = jnp.arange(d_min, d_max + stride, stride, dtype=jnp.int32)
     r, _ = jax.lax.scan(step, jnp.zeros_like(left), ds, unroll=8)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     x2 = xs - disparity
@@ -152,17 +160,25 @@ def pair_core(
     v1 = mask1 & ~inv1
     v2 = mask2 & ~inv2
 
+    noise_ratio = None
+    if cfg.noise_adapt > 0:
+        from pcmi_tpu.ops.normalize import snr_ratio
+
+        noise_ratio = snr_ratio(n1, mask1)
+
     if cfg.hierarchical:
         from pcmi_tpu.ops.stereo.hierarchical import compute_disparity_hierarchical
 
         res0 = compute_disparity_hierarchical(
             n1, n2, v1, v2, cfg, local_disp=cfg.hierarchical_local_disp)
     else:
-        res0 = compute_disparity(n1, n2, v1, v2, cfg, aggregation="sgm")
+        res0 = compute_disparity(n1, n2, v1, v2, cfg, aggregation="sgm",
+                                 noise_ratio=noise_ratio)
     res = refine_disparity(res0, n1, cfg)
     photo = photoconsistency(
         n1, n2, res.disparity,
         d_min=cfg.min_disparity, d_max=cfg.min_disparity + cfg.max_disp - 1,
+        stride=cfg.disp_stride,
     )
 
     # Blunder gates: matching errors concentrate in foreground-fattening /
@@ -177,8 +193,25 @@ def pair_core(
     gy, gx = jnp.gradient(med)
     edge = jnp.hypot(gy, gx) > cfg.edge_grad_threshold
     band = binary_dilation(edge, iterations=cfg.edge_dilation)
-    photo_ok = photo < cfg.photo_threshold
-    gated_valid = res.valid & speckle_ok & ~band & photo_ok
+    # Noise-adaptive photoconsistency bound: on noisy / cross-date imagery
+    # even perfect matches carry a residual ~ the noise floor, so the fixed
+    # threshold is treated as a floor and scaled to the median residual of
+    # the LR-consistent population (blunders are the minority there).
+    photo_thresh = jnp.float32(cfg.photo_threshold)
+    if cfg.photo_adapt_factor > 0:
+        from pcmi_tpu.ops.normalize import _masked_quantile
+        # strided grid: the median of a smooth residual field is unchanged
+        # by 2x subsampling and the full-canvas sort is the cost
+        floor = _masked_quantile(photo[::2, ::2], (res.valid & v1)[::2, ::2],
+                                 jnp.asarray([0.5]))[0]
+        photo_thresh = jnp.maximum(photo_thresh,
+                                   cfg.photo_adapt_factor * floor)
+    photo_ok = photo < photo_thresh
+    # Global uniqueness gate: reject flat/bimodal cost curves (bland or
+    # repetitive texture) whose WTA is a coin flip the smoothness term then
+    # propagates — the dominant blunder source on low-texture scenes.
+    unique_ok = res0.margin > cfg.min_margin
+    gated_valid = res.valid & speckle_ok & ~band & photo_ok & unique_ok
 
     # Band recovery (densification): the edge-band gate above discards a
     # ~2·edge_dilation-px strip around every disparity discontinuity —
@@ -195,12 +228,26 @@ def pair_core(
     # recovered. The reference reaches the same goal via its second WLS
     # densification pass (``disparity.py:129-155``).
     if cfg.band_recover and res0.check_disparity is not None:
-        agree = (jnp.abs(res.disparity - res0.check_disparity)
-                 <= cfg.band_agree_threshold)
+        agree_thr = jnp.float32(cfg.band_agree_threshold_eff)
+        band_margin = jnp.float32(cfg.band_margin_threshold)
+        if cfg.noise_adapt > 0 and noise_ratio is not None:
+            # Noise-adaptive recovery (calibrated on the scene families):
+            # widen the agree slack as the SNR proxy rises (checker
+            # quantisation noise grows with image noise), and ramp the
+            # margin bar up steeply as the ratio approaches 1 — at
+            # per-pixel SNR ~ 1 (bland surfaces) recovery evidence is
+            # untrustworthy and only the strict gated lane should pass.
+            r01 = jnp.clip((noise_ratio - 0.5) / 0.5, 0.0, 1.0)
+            agree_thr = agree_thr + (cfg.noise_adapt
+                                     * cfg.noise_agree_widen * r01)
+            band_margin = band_margin + (
+                cfg.noise_adapt * cfg.noise_margin_ramp
+                * jnp.clip((noise_ratio - 0.8) / 0.2, 0.0, 1.0))
+        agree = (jnp.abs(res.disparity - res0.check_disparity) <= agree_thr)
         band_keep = (
             res0.valid & speckle_ok & photo_ok & band & agree
-            & (res0.margin > cfg.band_margin_threshold)
-            & (photo < cfg.band_photo_factor * cfg.photo_threshold)
+            & (res0.margin > band_margin)
+            & (photo < cfg.band_photo_factor * photo_thresh)
         )
         gated_valid = gated_valid | band_keep
     res = res._replace(valid=gated_valid)
@@ -270,8 +317,19 @@ class HeightMapPipeline:
         updates = dict(max_disp=md)
         if self.cfg.metric_gates and geoms:
             gain = max(abs(g.disp_gain) for g in geoms)
-            updates["speckle_threshold"] = self.cfg.speckle_threshold_m * gain
-            updates["edge_grad_threshold"] = self.cfg.edge_step_m * gain
+            # Quantise the derived thresholds (5% log steps): StereoConfig
+            # is a STATIC jit argument, so every distinct float forces a
+            # full pair_core recompile — nearby geometries (different pair
+            # subsets of one AOI) must land on the identical config to
+            # share one compiled executable. A <5% threshold shift is far
+            # inside the gates' tuning slack.
+            def _q(x: float) -> float:
+                import math
+                return float(round(1.05 ** round(math.log(max(x, 1e-6))
+                                                 / math.log(1.05)), 4))
+
+            updates["speckle_threshold"] = _q(self.cfg.speckle_threshold_m * gain)
+            updates["edge_grad_threshold"] = _q(self.cfg.edge_step_m * gain)
             # invalidated band half-width = the matcher's fattening radius,
             # set by the aggregation footprint (block + census support), not
             # by the geometry; measured halo ≈ block_size + 5 px

@@ -179,3 +179,37 @@ def test_bf16_cost_volume_matches_f32(pair):
     # validity masks mostly agree
     agree = (np.asarray(r32.valid) == np.asarray(r16.valid)).mean()
     assert agree > 0.95
+
+
+def test_disp_stride_matches_full_search(pair):
+    """disp_stride=2 (coarse-stride full-resolution search) must track the
+    stride-1 matcher to within its own quantisation: the volume holds every
+    2nd disparity and the parabola interpolates at spacing 2, so disparities
+    should agree within ~1 px almost everywhere and the recovered field must
+    still be accurate against ground truth."""
+    import dataclasses
+
+    left, right, gt = pair
+    v = jnp.ones(left.shape, bool)
+    cfg1 = dataclasses.replace(CFG, cost_dtype="float32")
+    cfg2 = dataclasses.replace(CFG, cost_dtype="float32", disp_stride=2)
+    r1 = compute_disparity(jnp.asarray(left), jnp.asarray(right), v, v, cfg1)
+    r2 = compute_disparity(jnp.asarray(left), jnp.asarray(right), v, v, cfg2)
+    both = np.asarray(r1.valid) & np.asarray(r2.valid)
+    assert both.mean() > 0.5
+    d1 = np.asarray(r1.disparity)[both]
+    d2 = np.asarray(r2.disparity)[both]
+    assert (np.abs(d1 - d2) <= 1.0).mean() > 0.98
+    # strided matcher is still accurate in absolute terms
+    err = np.abs(np.asarray(r2.disparity) - gt)[both]
+    assert np.median(err) < 0.5
+    # check disparity (band-recovery cross-matcher) decodes in real px units
+    chk = np.asarray(r2.check_disparity)
+    assert np.median(np.abs(chk - gt)[both]) < 2.0
+
+
+def test_disp_stride_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        StereoConfig(disp_stride=3)
