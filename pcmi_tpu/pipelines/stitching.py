@@ -166,6 +166,42 @@ def ncc_match(
 
 
 # ---------------------------------------------------------------------------
+# 3b. GMS-style spatial-consistency match prefilter
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=())
+def spatial_consistency_filter(
+    pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray,
+    radius: float = 100.0, disp_tol: float = 10.0, min_support: int = 6,
+):
+    """Zero the weight of matches without local motion support.
+
+    The reference prefilters feature matches by common-neighbourhood
+    consistency before RANSAC (``image_stitching/core.py:62-117``, a
+    GMS-style check over cKDTree neighbourhoods): correct matches on a
+    rigid scene move like their neighbours, while the structured outliers
+    of repetitive satellite texture (lattice-aliased matches one period
+    off) do not — yet pass any NCC *score* threshold, since the texture
+    really does repeat.
+
+    TPU-native form: the N is small (corner budget, default 256), so the
+    whole check is one dense O(N²) mask — distance matrix in the image-1
+    frame, displacement-agreement matrix, and a support count — instead of
+    a KD-tree. Match i survives only if ≥ ``min_support`` *other* live
+    matches within ``radius`` px displace within ``disp_tol`` px of it.
+    """
+    v = (pts2 - pts1).astype(jnp.float32)
+    d1 = jnp.linalg.norm(
+        pts1[:, None, :].astype(jnp.float32) - pts1[None, :, :], axis=-1)
+    dv = jnp.linalg.norm(v[:, None, :] - v[None, :, :], axis=-1)
+    live = weights > 0
+    near = (d1 <= radius) & ~jnp.eye(d1.shape[0], dtype=bool) & live[None, :]
+    support = jnp.sum(near & (dv <= disp_tol), axis=1)
+    return jnp.where(support >= min_support, weights, 0.0)
+
+
+# ---------------------------------------------------------------------------
 # 4. vectorised RANSAC homography
 # ---------------------------------------------------------------------------
 
@@ -339,6 +375,11 @@ class ImageStitcher:
         pts2, score = ncc_match(img1, img2, pts1, dy, dx,
                                 patch=self.patch, search=self.search)
         wts = jnp.where(score > 0.5, score, 0.0)
+        # spatial-consistency prefilter: NCC score alone passes
+        # lattice-aliased matches on repetitive texture (ref
+        # core.py:62-117 runs the same check before RANSAC)
+        wts = spatial_consistency_filter(pts1.astype(jnp.float32),
+                                         pts2.astype(jnp.float32), wts)
         p1f = pts1.astype(jnp.float32)
         p2f = pts2.astype(jnp.float32)
         Hm, inl = ransac_homography(p1f, p2f, wts, key,

@@ -174,3 +174,80 @@ def test_detector_finds_planted_blobs(rng):
     assert d1 < 12 and d2 < 12
     coco = ObjectDetector.to_coco(det)
     assert coco and {"image_id", "category_id", "bbox", "score"} <= set(coco[0])
+
+
+def test_spatial_consistency_filter_kills_lattice_outliers(rng):
+    """GMS-style prefilter (ref image_stitching/core.py:62-117): structured
+    outliers one texture-period off pass the NCC score but have no local
+    motion support; coherent matches survive."""
+    from pcmi_tpu.pipelines.stitching import spatial_consistency_filter
+
+    n = 240
+    p1 = jnp.asarray(rng.uniform(0, 420, (n, 2)).astype(np.float32))
+    true_v = jnp.asarray([7.0, -12.0])
+    p2 = p1 + true_v
+    # 30% outliers: aliased by one 40-px texture period, per-point random
+    # axis and sign (each corner locks onto its own wrong lattice cell)
+    out = rng.uniform(size=n) < 0.3
+    axis = rng.integers(0, 2, size=n)
+    sign = rng.choice([-1.0, 1.0], size=n)
+    shift = np.zeros((n, 2), np.float32)
+    shift[np.arange(n), axis] = 40.0 * sign
+    shift[~out] = 0.0
+    p2 = p2 + jnp.asarray(shift)
+    wts = jnp.ones((n,))
+    w2 = spatial_consistency_filter(p1, p2, wts)
+    kept = np.asarray(w2) > 0
+    # all coherent matches kept, (almost) all aliased ones dropped
+    assert kept[~out].mean() > 0.95
+    assert kept[out].mean() < 0.1
+
+
+def test_stitch_on_repetitive_texture(rng):
+    """Periodic texture: NCC score alone locks onto period-aliased matches;
+    the spatial-consistency prefilter recovers the true translation."""
+    from pcmi_tpu.pipelines.stitching import (
+        harris_corners, ncc_match, phase_correlation, ransac_homography,
+        spatial_consistency_filter)
+
+    h, w, period = 180, 300, 24
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w + 60), indexing="ij")
+    base = (0.5 + 0.25 * np.sin(2 * np.pi * xs / period)
+            + 0.25 * np.sin(2 * np.pi * ys / period)).astype(np.float32)
+    base += 0.1 * _texture(rng, h, w + 60)           # aperiodic cue
+    true_dx = 20                                      # NOT a period multiple
+    # independent per-image sensor noise drowns the weak aperiodic cue for
+    # a fraction of corners — THOSE alias onto wrong lattice cells
+    img1 = jnp.asarray(base[:, :w]
+                       + 0.03 * rng.normal(size=(h, w)).astype(np.float32))
+    img2 = jnp.asarray(base[:, true_dx:true_dx + w]
+                       + 0.03 * rng.normal(size=(h, w)).astype(np.float32))
+
+    pts1, _ = harris_corners(img1, 192)
+    # zero prior + wide search: the window spans several lattice periods,
+    # so corners alias onto diverse wrong cells (the repetitive-texture
+    # failure mode a score threshold cannot catch)
+    zero = jnp.zeros(())
+    pts2, score = ncc_match(img1, img2, pts1, zero, zero,
+                            patch=11, search=56)
+    wts = jnp.where(score > 0.5, score, 0.0)
+    w_f = spatial_consistency_filter(pts1.astype(jnp.float32),
+                                     pts2.astype(jnp.float32), wts)
+
+    v = np.asarray(pts2 - pts1, np.float32)
+    correct = np.abs(v[:, 1] - (-true_dx)) <= 2.0
+    live0 = np.asarray(wts) > 0
+    live1 = np.asarray(w_f) > 0
+    rate0 = correct[live0].mean() if live0.any() else 0.0
+    rate1 = correct[live1].mean() if live1.any() else 0.0
+    # the filter must materially raise the share of true-offset matches
+    assert live1.sum() >= 30
+    assert rate1 > rate0 + 0.15, (rate0, rate1)
+    assert rate1 > 0.9
+
+    Hm, inl = ransac_homography(pts1.astype(jnp.float32),
+                                pts2.astype(jnp.float32), w_f,
+                                jax.random.PRNGKey(0), thresh=3.0)
+    # recovered homography is (close to) the pure x-translation
+    Hn = np.asarray(Hm) / np.asarray(Hm)[2, 2]
+    assert abs(Hn[0, 2] - (-true_dx)) < 2.0 or abs(Hn[1, 2] - (-true_dx)) < 2.0
