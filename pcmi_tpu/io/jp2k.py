@@ -67,12 +67,16 @@ def decode(data: bytes) -> np.ndarray:
 
 
 def encode(img: np.ndarray, lossless: bool = True,
-           ratio: float = 10.0) -> bytes:
+           ratio: float = 10.0, tile_size: tuple | None = None) -> bytes:
     """Encode an array as a raw J2K codestream (what NITF C8 embeds).
 
     ``lossless`` uses the reversible 5/3 wavelet (bit-exact round-trip);
     otherwise the irreversible 9/7 wavelet at roughly ``ratio``:1.
     Supports uint8 and uint16 (mono) plus uint8 RGB.
+
+    ``tile_size=(w, h)`` produces an internally TILED codestream — the
+    NPJE blocked convention real WV3 deliveries use (1024x1024 J2K tiles
+    inside one IC=C8 segment with matching NPPBH/NPPBV block fields).
     """
     _require_codec()
     from PIL import Image
@@ -88,6 +92,8 @@ def encode(img: np.ndarray, lossless: bool = True,
     buf = io.BytesIO()
     buf.name = "segment.j2k"  # suffix selects the raw-codestream writer
     kwargs = dict(format="JPEG2000", irreversible=not lossless)
+    if tile_size is not None:
+        kwargs["tile_size"] = (int(tile_size[0]), int(tile_size[1]))
     if not lossless:
         kwargs["quality_mode"] = "rates"
         kwargs["quality_layers"] = [float(ratio)]

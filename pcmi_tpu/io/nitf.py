@@ -174,23 +174,33 @@ def parse_nitf_tres(path: str, scan_bytes: int = 1 << 20) -> Dict[str, object]:
 # NITF 2.1 image segment decode (uncompressed) + test-grade writer
 # ---------------------------------------------------------------------------
 
-def nitf_image_info(path: str) -> Dict[str, object]:
-    """Header-only probe of the first image segment: shape/dtype/offset.
+def nitf_image_info(path: str, segment: int = 0) -> Dict[str, object]:
+    """Header-only probe of one image segment: shape/dtype/offset.
 
-    Reads just the file header + image subheader (no pixel data) — the
-    cheap path for directory discovery over multi-gigabyte deliveries.
+    Reads just the file header + that segment's subheader (no pixel
+    data) — the cheap path for directory discovery over multi-gigabyte
+    deliveries. Real WV3 deliveries carry several image segments per
+    file (PAN + multi-band MSI); ``segment`` indexes the NUMI list.
     """
     with open(path, "rb") as fh:
-        head = fh.read(4096)
+        head = fh.read(1 << 16)
         if head[:9] != b"NITF02.10" and head[:4] != b"NITF":
             raise ValueError(f"{path}: not a NITF file")
         hl = int(head[354:360])
         numi = int(head[360:363])
         if numi < 1:
             raise ValueError("no image segments")
-        lish = int(head[363:369])
-        li = int(head[369:379])
-        fh.seek(hl)
+        if not 0 <= segment < numi:
+            raise ValueError(f"{path}: segment {segment} of {numi}")
+        # LISH(6)/LI(10) pairs repeat per segment right after NUMI
+        pairs = [
+            (int(head[363 + 16 * i: 369 + 16 * i]),
+             int(head[369 + 16 * i: 379 + 16 * i]))
+            for i in range(numi)
+        ]
+        seg_off = hl + sum(s + l for s, l in pairs[:segment])
+        lish, li = pairs[segment]
+        fh.seek(seg_off)
         sub = fh.read(lish)
 
     pos = 2 + 10 + 14 + 17 + 80 + 1  # IM IID1 IDATIM TGTID IID2 ISCLAS
@@ -216,8 +226,12 @@ def nitf_image_info(path: str) -> Dict[str, object]:
     nbands = int(sub[pos:pos + 1]); pos += 1
     # per band: IREPBANDn(2) ISUBCATn(6) IFCn(1) IMFLTn(3) NLUTSn(1)
     pos += nbands * (2 + 6 + 1 + 3 + 1)
-    pos += 1 + 1                           # ISYNC IMODE
-    pos += 4 + 4 + 4 + 4                   # NBPR NBPC NPPBH NPPBV
+    pos += 1                               # ISYNC
+    imode = sub[pos:pos + 1].decode(); pos += 1
+    nbpr = int(sub[pos:pos + 4]); pos += 4
+    nbpc = int(sub[pos:pos + 4]); pos += 4
+    nppbh = int(sub[pos:pos + 4]); pos += 4
+    nppbv = int(sub[pos:pos + 4]); pos += 4
     nbpp = int(sub[pos:pos + 2]); pos += 2
 
     dt = {("INT", 8): np.uint8, ("INT", 16): ">u2", ("INT", 32): ">u4",
@@ -226,23 +240,34 @@ def nitf_image_info(path: str) -> Dict[str, object]:
         raise ValueError(f"unsupported PVTYPE/NBPP {pvtype}/{nbpp}")
     return {
         "nrows": nrows, "ncols": ncols, "nbands": nbands,
-        "dtype": np.dtype(dt), "data_offset": hl + lish,
+        "dtype": np.dtype(dt), "data_offset": seg_off + lish,
         "ic": ic, "comrat": comrat, "data_length": li,
+        "n_segments": numi, "imode": imode,
+        "nbpr": nbpr, "nbpc": nbpc, "nppbh": nppbh, "nppbv": nppbv,
     }
 
 
-def read_nitf_image(path: str) -> np.ndarray:
-    """Decode the first image segment of a NITF 2.1 file (IC=NC/NM/C8).
+def read_nitf_segments(path: str) -> list:
+    """Decode every image segment of a NITF 2.1 file (multi-segment WV3
+    deliveries: PAN + MSI bands in one .ntf)."""
+    n = int(nitf_image_info(path)["n_segments"])
+    return [read_nitf_image(path, segment=k) for k in range(n)]
+
+
+def read_nitf_image(path: str, segment: int = 0) -> np.ndarray:
+    """Decode one image segment of a NITF 2.1 file (IC=NC/NM/C8).
 
     Walks the fixed-layout file header (MIL-STD-2500C: FL at offset 342,
-    HL at 354, NUMI at 360 with LISH/LI pairs) to the first image
+    HL at 354, NUMI at 360 with LISH/LI pairs) to the requested image
     subheader, parses NROWS/NCOLS/PVTYPE/NBPP/IC, and reads the band.
     Raw segments (IC=NC/NM) come straight off disk; JPEG2000 segments
     (IC=C8 — how real WV3 deliveries arrive; the reference decoded them
     via GDAL, ``preprocessing.py:71-80``) go through
-    :mod:`pcmi_tpu.io.jp2k`.
+    :mod:`pcmi_tpu.io.jp2k`, including NPJE-style blocked segments whose
+    J2K codestream is internally tiled (IMODE=B, NPPBH/NPPBV blocks —
+    tiling is a property of the codestream, so the codec reassembles it).
     """
-    info = nitf_image_info(path)
+    info = nitf_image_info(path, segment=segment)
     nrows, ncols, nbands = info["nrows"], info["ncols"], info["nbands"]
     dt: np.dtype = info["dtype"]  # type: ignore[assignment]
     if info["ic"] in ("C8", "M8"):
@@ -251,6 +276,31 @@ def read_nitf_image(path: str) -> np.ndarray:
         with open(path, "rb") as fh:
             fh.seek(int(info["data_offset"]))
             data = fh.read(int(info["data_length"]))
+        if info["ic"] == "M8":
+            # Blocked Image Mask: per-block offsets, one complete
+            # codestream per (padded) block — split, decode, assemble,
+            # crop the edge-block padding.
+            import struct
+
+            imdatoff, bmrlnth, _tmr, _tpx = struct.unpack(">IHHH", data[:10])
+            if bmrlnth != 4:
+                raise ValueError(f"{path}: unsupported M8 mask BMRLNTH={bmrlnth}")
+            nbpr, nbpc = int(info["nbpr"]), int(info["nbpc"])
+            nb = nbpr * nbpc
+            offs = struct.unpack(f">{nb}I", data[10:10 + 4 * nb])
+            body = data[imdatoff:]
+            bounds = list(offs) + [len(body)]
+            th, tw = int(info["nppbv"]), int(info["nppbh"])
+            out = None
+            k = 0
+            for by in range(nbpc):
+                for bx in range(nbpr):
+                    blk = jp2k.decode(body[bounds[k]:bounds[k + 1]])
+                    if out is None:
+                        out = np.zeros((nbpc * th, nbpr * tw), blk.dtype)
+                    out[by * th:(by + 1) * th, bx * tw:(bx + 1) * tw] = blk
+                    k += 1
+            return out[:nrows, :ncols]
         arr = jp2k.decode(data)
         if arr.shape[:2] != (nrows, ncols):
             raise ValueError(
@@ -258,6 +308,12 @@ def read_nitf_image(path: str) -> np.ndarray:
                 f"subheader NROWS/NCOLS ({nrows}, {ncols})"
             )
         return arr
+    if int(info["nbpr"]) > 1 or int(info["nbpc"]) > 1:
+        raise ValueError(
+            f"{path}: blocked RAW layout (NBPR={info['nbpr']}, "
+            f"NBPC={info['nbpc']}, IC={info['ic']}) is not supported — "
+            f"blocked deliveries arrive as C8 (J2K-tiled) in practice"
+        )
     with open(path, "rb") as fh:
         fh.seek(int(info["data_offset"]))
         data = fh.read(nrows * ncols * nbands * dt.itemsize)
@@ -308,19 +364,60 @@ def csexra_tre(incidence_deg: float, azimuth_deg: float) -> bytes:
     return b"CSEXRA" + f"{len(body):05d}".encode() + body
 
 
-def write_nitf(path: str, img: np.ndarray, tres: bytes = b"",
-               idatim: str = "20200101120000", compress: str = "NC") -> None:
-    """Minimal NITF 2.1 writer (one mono image segment, IC=NC or C8).
+def write_nitf(path: str, img, tres: bytes = b"",
+               idatim: str = "20200101120000", compress: str = "NC",
+               tile_size: int = 0) -> None:
+    """Minimal NITF 2.1 writer (mono image segments, IC=NC or C8).
 
     Exists so tests and demos can exercise the full NTF ingest path
     (header walk + TRE scan + image decode) without shipped samples.
-    ``tres`` are raw TRE bytes placed in the image extended data area.
-    ``compress="C8"`` embeds a lossless JPEG2000 codestream — the form
-    real WV3 deliveries take — so the C8 decode path is testable.
-    """
-    img = np.asarray(img)
-    if compress not in ("NC", "C8"):
-        raise ValueError(f"compress must be NC or C8, got {compress!r}")
+    ``tres`` are raw TRE bytes placed in the FIRST segment's extended
+    data area. ``compress="C8"`` embeds a lossless JPEG2000 codestream —
+    the form real WV3 deliveries take — so the C8 decode path is
+    testable. ``tile_size > 0`` writes the NPJE blocked convention: an
+    internally J2K-tiled codestream with IMODE=B and matching
+    NPPBH/NPPBV/NBPR/NBPC block fields. ``img`` may be a LIST of arrays —
+    one image segment each (multi-segment deliveries: PAN + MSI)."""
+    imgs = list(img) if isinstance(img, (list, tuple)) else [np.asarray(img)]
+    if compress not in ("NC", "C8", "M8"):
+        raise ValueError(f"compress must be NC, C8 or M8, got {compress!r}")
+    if tile_size and compress == "NC":
+        raise ValueError("tile_size (blocking) requires compress='C8'/'M8'")
+    segs = [
+        _image_segment(np.asarray(im), tres if k == 0 else b"", idatim,
+                       compress, tile_size)
+        for k, im in enumerate(imgs)
+    ]
+    numi = len(segs)
+
+    sec = b" " * 166
+    # Build the file header strictly by field widths:
+    # FHDR(9) CLEVEL(2) STYPE(4) OSTAID(10) FDT(14) FTITLE(80) FSCLAS(1)
+    # FS-security(166) FSCOP(5) FSCPYS(5) ENCRYP(1) FBKGC(3) ONAME(24)
+    # OPHONE(18) FL(12) HL(6) NUMI(3) [LISH(6) LI(10)]*NUMI NUMS(3)
+    # NUMX(3) NUMT(3) NUMDES(3) NUMRES(3) UDHDL(5) XHDL(5)
+    parts = [
+        b"NITF02.10", b"03", b"BF01", b"PCMI      ",
+        idatim.encode().ljust(14), b" " * 80, b"U", sec,
+        b"00000", b"00000", b"0", b"\x00\x00\x00", b" " * 24, b" " * 18,
+    ]
+    tail = [b"".join(f"{len(sub):06d}".encode() + f"{len(raw):010d}".encode()
+                     for sub, raw in segs),
+            b"000", b"000", b"000", b"000", b"000", b"00000", b"00000"]
+    hl = sum(len(p) for p in parts) + 12 + 6 + 3 + sum(len(t) for t in tail)
+    fl = hl + sum(len(sub) + len(raw) for sub, raw in segs)
+    header = b"".join(parts) + f"{fl:012d}".encode() + f"{hl:06d}".encode() \
+        + f"{numi:03d}".encode() + b"".join(tail)
+    assert len(header) == hl, (len(header), hl)
+    with open(path, "wb") as fh:
+        fh.write(header)
+        for sub, raw in segs:
+            fh.write(sub + raw)
+
+
+def _image_segment(img: np.ndarray, tres: bytes, idatim: str,
+                   compress: str, tile_size: int = 0):
+    """(subheader bytes, data bytes) for one mono image segment."""
     if img.dtype == np.uint8:
         pvtype, nbpp, raw = "INT", 8, img.tobytes()
     elif img.dtype in (np.uint16, np.dtype(">u2")):
@@ -331,13 +428,63 @@ def write_nitf(path: str, img: np.ndarray, tres: bytes = b"",
         raw = img.astype(">f4").tobytes()
     else:
         raise ValueError(f"unsupported dtype {img.dtype}")
-    if compress == "C8":
+    nrows, ncols = img.shape[:2]
+    if tile_size:
+        nbpr = -(-ncols // tile_size)
+        nbpc = -(-nrows // tile_size)
+        nppbh = nppbv = tile_size
+    else:
+        nbpr = nbpc = 1
+        nppbh, nppbv = min(ncols, 9999), min(nrows, 9999)
+    imode = b"B"
+    if compress in ("C8", "M8"):
         if pvtype != "INT":
-            raise ValueError("C8 (JPEG2000) supports integer imagery only")
+            raise ValueError("C8/M8 (JPEG2000) supports integer imagery only")
         from pcmi_tpu.io import jp2k
 
-        raw = jp2k.encode(img.astype(img.dtype.newbyteorder("=")))
-    nrows, ncols = img.shape[:2]
+        native = img.astype(img.dtype.newbyteorder("="))
+        if compress == "M8" and tile_size:
+            # Blocked-with-mask form (MIL-STD-2500C): each NPPBxNPPB block
+            # (edge blocks zero-padded to full size, as the spec requires)
+            # is its OWN complete codestream; a Blocked Image Mask up
+            # front records the per-block offsets, so readers can split
+            # without guessing marker boundaries.
+            blocks = []
+            for by in range(nbpc):
+                for bx in range(nbpr):
+                    blk = np.zeros((tile_size, tile_size), native.dtype)
+                    part = native[by * tile_size: (by + 1) * tile_size,
+                                  bx * tile_size: (bx + 1) * tile_size]
+                    blk[: part.shape[0], : part.shape[1]] = part
+                    blocks.append(jp2k.encode(blk))
+            import struct
+
+            offs, pos = [], 0
+            for b in blocks:
+                offs.append(pos)
+                pos += len(b)
+            # IMDATOFF(4) BMRLNTH(2) TMRLNTH(2) TPXCDLNTH(2) + offsets
+            mask = struct.pack(">IHHH", 4 + 2 + 2 + 2 + 4 * len(offs),
+                               4, 0, 0)
+            mask += b"".join(struct.pack(">I", o) for o in offs)
+            raw = mask + b"".join(blocks)
+        elif compress == "M8":
+            raise ValueError("M8 (masked blocks) requires tile_size > 0")
+        elif tile_size:
+            # single internally-tiled codestream (the NPJE C8 convention).
+            # The available encoder (Pillow/OpenJPEG) mis-encodes TILED
+            # uint16 (verified: tiled uint8 round-trips bit-exactly,
+            # tiled uint16 does not) — blocked 16-bit fixtures should use
+            # compress="M8" instead; real NPJE C8 arrives pre-encoded and
+            # only needs the DECODE path.
+            if native.dtype != np.uint8:
+                raise ValueError(
+                    "tiled C8 encode supports uint8 only (encoder "
+                    "limitation) — use compress='M8' for blocked 16-bit"
+                )
+            raw = jp2k.encode(native, tile_size=(tile_size, tile_size))
+        else:
+            raw = jp2k.encode(native)
 
     sec = b" " * 166
     udidl = len(tres)
@@ -357,12 +504,12 @@ def write_nitf(path: str, img: np.ndarray, tres: bytes = b"",
         b"0", compress.encode(),
         # COMRAT(4) follows IC only for compressed segments; "N023" is the
         # NPJE numerically-lossless convention.
-        b"N023" if compress == "C8" else b"",
+        b"N023" if compress in ("C8", "M8") else b"",
         b"1",
         b"M ", b"      ", b"N", b"   ", b"0",
-        b"1", b"B",
-        b"0001", b"0001",
-        f"{min(ncols, 9999):04d}".encode(), f"{min(nrows, 9999):04d}".encode(),
+        b"1", imode,
+        f"{nbpr:04d}".encode(), f"{nbpc:04d}".encode(),
+        f"{nppbh:04d}".encode(), f"{nppbv:04d}".encode(),
         f"{nbpp:02d}".encode(),
         b"001", b"000", b"0000000000", b"1.0 ",
     ])
@@ -371,31 +518,7 @@ def write_nitf(path: str, img: np.ndarray, tres: bytes = b"",
     else:
         sub += b"00000"
     sub += b"00000"  # IXSHDL
-
-    lish = len(sub)
-    li = len(raw)
-
-    # Build the file header strictly by field widths:
-    # FHDR(9) CLEVEL(2) STYPE(4) OSTAID(10) FDT(14) FTITLE(80) FSCLAS(1)
-    # FS-security(166) FSCOP(5) FSCPYS(5) ENCRYP(1) FBKGC(3) ONAME(24)
-    # OPHONE(18) FL(12) HL(6) NUMI(3) LISH(6) LI(10) NUMS(3) NUMX(3)
-    # NUMT(3) NUMDES(3) NUMRES(3) UDHDL(5) XHDL(5)
-    parts = [
-        b"NITF02.10", b"03", b"BF01", b"PCMI      ",
-        idatim.encode().ljust(14), b" " * 80, b"U", sec,
-        b"00000", b"00000", b"0", b"\x00\x00\x00", b" " * 24, b" " * 18,
-    ]
-    tail = [
-        f"{lish:06d}".encode(), f"{li:010d}".encode(),
-        b"000", b"000", b"000", b"000", b"000", b"00000", b"00000",
-    ]
-    hl = sum(len(p) for p in parts) + 12 + 6 + 3 + sum(len(t) for t in tail)
-    fl = hl + lish + li
-    header = b"".join(parts) + f"{fl:012d}".encode() + f"{hl:06d}".encode() \
-        + b"001" + b"".join(tail)
-    assert len(header) == hl, (len(header), hl)
-    with open(path, "wb") as fh:
-        fh.write(header + sub + raw)
+    return sub, raw
 
 
 @dataclass

@@ -113,3 +113,43 @@ def test_corrupt_codestream_raises(tmp_path, rng):
     open(p, "wb").write(bytes(data))
     with pytest.raises(Exception):
         read_nitf_image(p)
+
+
+def test_blocked_m8_multisegment_roundtrip(tmp_path, rng):
+    """Blocked (NPPB-tiled, per-block codestreams + Blocked Image Mask)
+    16-bit PAN plus a second uint8 MSI segment in ONE file — the
+    multi-segment blocked shape real deliveries take (VERDICT r2 item 9)."""
+    pan = rng.integers(0, 2048, (300, 500), dtype=np.uint16)
+    msi = rng.integers(0, 256, (150, 250), dtype=np.uint8)
+    p = str(tmp_path / "m8.ntf")
+    write_nitf(p, [pan, msi], compress="M8", tile_size=128)
+    info = nitf_image_info(p)
+    assert info["ic"] == "M8" and info["n_segments"] == 2
+    assert (info["nbpr"], info["nbpc"]) == (4, 3)  # ceil(500/128), ceil(300/128)
+    assert (info["nppbh"], info["nppbv"]) == (128, 128)
+    from pcmi_tpu.io.nitf import read_nitf_segments
+
+    segs = read_nitf_segments(p)
+    np.testing.assert_array_equal(segs[0], pan)
+    np.testing.assert_array_equal(segs[1], msi)
+    # second-segment header probe stands alone
+    info1 = nitf_image_info(p, segment=1)
+    assert (info1["nrows"], info1["ncols"]) == (150, 250)
+
+
+def test_tiled_c8_single_codestream_roundtrip(tmp_path, rng):
+    """NPJE-style C8: ONE internally J2K-tiled codestream with matching
+    NITF block fields (uint8 — the available encoder mis-encodes tiled
+    uint16; decode of real tiled streams rides the codec)."""
+    img = rng.integers(0, 256, (260, 390), dtype=np.uint8)
+    p = str(tmp_path / "c8t.ntf")
+    write_nitf(p, img, compress="C8", tile_size=128)
+    info = nitf_image_info(p)
+    assert info["ic"] == "C8" and (info["nbpr"], info["nbpc"]) == (4, 3)
+    np.testing.assert_array_equal(read_nitf_image(p), img)
+
+
+def test_tiled_c8_uint16_rejected(tmp_path, rng):
+    img = rng.integers(0, 2048, (64, 64), dtype=np.uint16)
+    with pytest.raises(ValueError, match="M8"):
+        write_nitf(str(tmp_path / "x.ntf"), img, compress="C8", tile_size=32)
