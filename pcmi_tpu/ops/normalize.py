@@ -49,6 +49,21 @@ def robust_bounds(img: jnp.ndarray, mask: jnp.ndarray, nb: float = 8.0,
         mad = _masked_quantile(jnp.abs(im - med), mk, jnp.asarray(0.5))
         return med, mad
 
+    def _med_mad_grid(im, mk):
+        # data range from two fused reductions, then one-pass grid
+        # medians — the sort the exact path pays costs ~7 ms/plane on the
+        # target chip (see masked_median_grid); the hot path tolerates the
+        # (hi-lo)/128 + interpolation quantisation easily (bounds get
+        # x8 MAD slack)
+        lo = jnp.min(jnp.where(mk, im, jnp.inf))
+        hi = jnp.max(jnp.where(mk, im, -jnp.inf))
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+        hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
+        med = masked_median_grid(im, mk, lo, hi, bins=128, geometric=False)
+        mad = masked_median_grid(jnp.abs(im - med), mk, 0.0, hi - lo,
+                                 bins=128)
+        return med, mad
+
     if subsample > 1 and img.ndim == 2:
         img_q = img[::subsample, ::subsample]
         mask_q = mask[::subsample, ::subsample]
@@ -57,7 +72,7 @@ def robust_bounds(img: jnp.ndarray, mask: jnp.ndarray, nb: float = 8.0,
         # the exact full-resolution estimate rather than degenerate bounds
         med, mad = jax.lax.cond(
             jnp.sum(mask_q) >= 64,
-            lambda: _med_mad(img_q, mask_q),
+            lambda: _med_mad_grid(img_q, mask_q),
             lambda: _med_mad(img, mask),
         )
     else:
@@ -140,12 +155,68 @@ def snr_ratio(img: jnp.ndarray, mask: jnp.ndarray,
     m4 = (mask[1:-1, 1:-1] & mask[:-2, 1:-1] & mask[2:, 1:-1]
           & mask[1:-1, :-2] & mask[1:-1, 2:])
     s = subsample
-    noise = _masked_quantile(jnp.abs(lap)[::s, ::s], m4[::s, ::s],
-                             jnp.asarray(0.5)) * (1.4826 / jnp.sqrt(20.0))
-    # signal on the half-res grid with sigma=1 (~ sigma=2 at full res):
-    # the hp/ratio scale is what the noise_adapt ramps are calibrated to
-    fq = f[::2, ::2]
-    hp = jnp.abs(fq - gaussian_filter(fq, sigma=1.0))
-    signal = _masked_quantile(hp[::2, ::2], mask[::2, ::2][::2, ::2],
-                              jnp.asarray(0.5))
+    # one-pass grid medians: inputs are normalised to [0, 1], so
+    # |laplacian| and the high-pass magnitude live in known bounded
+    # ranges — both the sort-based quantile (~7 ms/plane) and a
+    # sequential bisection loop (~0.4 ms/step kernel latency) lose to a
+    # single fused compare-and-count pass (see masked_median_grid)
+    noise = masked_median_grid(jnp.abs(lap)[::s, ::s], m4[::s, ::s],
+                               0.0, 8.0) * (1.4826 / jnp.sqrt(20.0))
+    # signal: full-resolution sigma=2 high-pass (the calibration
+    # estimator). Counter-intuitively the FULL-res conv is the fast form
+    # on TPU: a strided slice feeding a conv forces a ~2 ms lane
+    # relayout, while slicing the conv's OUTPUT into the median reduce
+    # fuses away; the separable gaussian itself is sub-ms.
+    hp = jnp.abs(f - gaussian_filter(f, sigma=2.0))
+    signal = masked_median_grid(hp[::s, ::s], mask[::s, ::s], 0.0, 2.0)
     return noise / jnp.maximum(signal, 1e-6)
+
+
+@partial(jax.jit, static_argnames=("bins", "geometric"))
+def masked_median_grid(x: jnp.ndarray, mask: jnp.ndarray,
+                       lo, hi, bins: int = 64,
+                       geometric: bool = True) -> jnp.ndarray:
+    """Approximate median of ``x[mask]`` in ONE fused device pass.
+
+    Counts elements under each of ``bins`` candidate thresholds spanning
+    [lo, hi] simultaneously (one compare-and-reduce kernel), then
+    interpolates the crossing linearly. On the target chip BOTH standard
+    quantile shapes lose badly to this: a quarter-megapixel ``jnp.sort``
+    costs ~7 ms, and a 16-step bisection loop pays ~0.4 ms of small-kernel
+    latency PER sequential step — while this single pass is sub-ms.
+
+    ``geometric`` spaces the thresholds logarithmically over
+    [hi/2^12, hi] — the right grid for non-negative, scale-free
+    quantities (photo residuals, Laplacian noise) whose median can sit
+    orders of magnitude below the range cap; linear spacing suits
+    bounded-range data with a known bracket (``lo`` is ignored for the
+    geometric grid, which always starts at hi/2^12).
+    Accuracy: a few % relative (geometric) / (hi-lo)/bins absolute
+    (linear) — far inside the slack of any threshold derived from it.
+    """
+    xf = x.reshape(-1)
+    mf = mask.reshape(-1)
+    hi = jnp.asarray(hi, jnp.float32)
+    lo = jnp.asarray(lo, jnp.float32)
+    j = jnp.arange(bins, dtype=jnp.float32)
+    if geometric:
+        ts = hi * jnp.exp2(-12.0 * (1.0 - j / (bins - 1)))
+    else:
+        ts = lo + (hi - lo) * j / (bins - 1)
+    counts = jnp.sum(
+        (xf[:, None] <= ts[None, :]) & mf[:, None], axis=0,
+        dtype=jnp.float32)
+    n = jnp.maximum(counts[-1], 1.0)  # ts[-1] = hi >= all masked values
+    target = 0.5 * n
+    # first threshold whose count reaches the target, with linear
+    # interpolation between the bracketing candidates
+    reach = counts >= target
+    idx = jnp.argmax(reach)  # first True (counts are monotone)
+    i0 = jnp.maximum(idx - 1, 0)
+    c0 = counts[i0]
+    c1 = counts[idx]
+    t0 = ts[i0]
+    t1 = ts[idx]
+    frac = jnp.where(c1 > c0, (target - c0) / jnp.maximum(c1 - c0, 1e-6), 0.0)
+    med = t0 + jnp.clip(frac, 0.0, 1.0) * (t1 - t0)
+    return jnp.where(idx == 0, ts[0] * 0.5, med)

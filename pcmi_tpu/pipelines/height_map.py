@@ -199,11 +199,14 @@ def pair_core(
     # the LR-consistent population (blunders are the minority there).
     photo_thresh = jnp.float32(cfg.photo_threshold)
     if cfg.photo_adapt_factor > 0:
-        from pcmi_tpu.ops.normalize import _masked_quantile
-        # strided grid: the median of a smooth residual field is unchanged
-        # by 2x subsampling and the full-canvas sort is the cost
-        floor = _masked_quantile(photo[::2, ::2], (res.valid & v1)[::2, ::2],
-                                 jnp.asarray([0.5]))[0]
+        from pcmi_tpu.ops.normalize import masked_median_grid
+        # strided grid + one-pass grid quantile: the median of a smooth
+        # residual field is unchanged by 2x subsampling, its range is
+        # known ([0, ~2] on normalised imagery), and both a full-canvas
+        # SORT (~7 ms) and a sequential bisection loop (~0.4 ms/step
+        # small-kernel latency) lose to one fused compare-and-count pass
+        floor = masked_median_grid(photo[::2, ::2],
+                                   (res.valid & v1)[::2, ::2], 0.0, 2.0)
         photo_thresh = jnp.maximum(photo_thresh,
                                    cfg.photo_adapt_factor * floor)
     photo_ok = photo < photo_thresh
