@@ -33,18 +33,30 @@ from pcmi_tpu.models.unet import ConvBlock, _down, _up
 
 class CondUNet(nn.Module):
     """Small epsilon-model: input (B, T, T, C_img*2+1) = x_t ++ masked ++ mask,
-    plus a sinusoidal timestep embedding added per level."""
+    plus a sinusoidal timestep embedding added per level.
+
+    ``n_classes > 0`` adds a SEMANTIC conditioning channel: a learned class
+    embedding joins the timestep embedding — the framework's analogue of
+    the reference's text-prompt control surface (per-task prompts,
+    ``satdiff.py:24-55``; user prompt/negative-prompt,
+    ``stan/plugin.py:156-170``), with a fixed class vocabulary standing in
+    for the text encoder."""
 
     widths: tuple = (32, 64, 128)
     out_channels: int = 3
+    n_classes: int = 0
 
     @nn.compact
-    def __call__(self, x_t, t, cond):
+    def __call__(self, x_t, t, cond, class_id=None):
         # t: (B,) in [0, 1); sinusoidal features broadcast over space
         freqs = jnp.exp(jnp.linspace(0.0, 6.0, 16))
         temb = jnp.concatenate(
             [jnp.sin(t[:, None] * freqs), jnp.cos(t[:, None] * freqs)], axis=1
         )  # (B, 32)
+        if self.n_classes:
+            cid = (jnp.zeros(t.shape, jnp.int32)
+                   if class_id is None else class_id)
+            temb = temb + nn.Embed(self.n_classes, 32)(cid)
         h = jnp.concatenate([x_t, cond], axis=-1)
         skips = []
         for wdt in self.widths[:-1]:
@@ -74,6 +86,10 @@ class DiffusionConfig:
     # a Sobel edge map of the known region (zeroed inside the hole) joins
     # the conditioning stack so structure continues across the fill
     edge_conditioning: bool = False
+    # Semantic class conditioning (the prompt-control analogue, see
+    # CondUNet): names index the learned class embedding; prompts map to
+    # the first vocabulary name they contain (class_for_prompt)
+    class_names: tuple = ()
 
 
 class Schedule(NamedTuple):
@@ -151,18 +167,34 @@ class TiledDiffusionEngine:
     def __init__(self, cfg: DiffusionConfig = DiffusionConfig(),
                  model: nn.Module | None = None):
         self.cfg = cfg
-        self.model = model or CondUNet(out_channels=cfg.img_channels)
+        self.model = model or CondUNet(out_channels=cfg.img_channels,
+                                       n_classes=len(cfg.class_names))
         self.schedule = make_schedule(cfg)
+
+    def class_for_prompt(self, prompt) -> jnp.ndarray:
+        """Map a prompt string (or class index) onto the class vocabulary
+        — the stand-in for the reference's text encoder: the first
+        vocabulary name contained in the prompt wins; unknown prompts get
+        class 0 (the unconditional/default slot by convention)."""
+        if isinstance(prompt, (int, np.integer)):
+            return jnp.asarray(int(prompt), jnp.int32)
+        if prompt:
+            low = str(prompt).lower()
+            for k, name in enumerate(self.cfg.class_names):
+                if name.lower() in low:
+                    return jnp.asarray(k, jnp.int32)
+        return jnp.asarray(0, jnp.int32)
 
     def init_params(self, key: jax.Array):
         c = self.cfg.img_channels
         cond_ch = c + 1 + (1 if self.cfg.edge_conditioning else 0)
         x = jnp.zeros((1, self.cfg.tile, self.cfg.tile, c))
         cond = jnp.zeros((1, self.cfg.tile, self.cfg.tile, cond_ch))
-        return self.model.init(key, x, jnp.zeros((1,)), cond)
+        cid = jnp.zeros((1,), jnp.int32) if self.cfg.class_names else None
+        return self.model.init(key, x, jnp.zeros((1,)), cond, cid)
 
     @partial(jax.jit, static_argnames=("self",))
-    def train_step_loss(self, params, images, masks, key):
+    def train_step_loss(self, params, images, masks, key, class_ids=None):
         """Denoising score-matching loss for the conditioned eps-model."""
         cfg = self.cfg
         b = images.shape[0]
@@ -174,7 +206,7 @@ class TiledDiffusionEngine:
         cond = jax.vmap(lambda im, mk: _cond_stack(cfg, im, mk))(images, masks)
         eps = self.model.apply(params, x_t,
                                t_idx.astype(jnp.float32) / cfg.train_timesteps,
-                               cond)
+                               cond, class_ids)
         return jnp.mean((eps - noise) ** 2)
 
     def _tiler(self, canvas):
@@ -214,7 +246,7 @@ class TiledDiffusionEngine:
         return slice_tiles, blend_tiles
 
     @partial(jax.jit, static_argnames=("self", "canvas"))
-    def _sample(self, params, image, mask, key, canvas):
+    def _sample(self, params, image, mask, key, canvas, class_id=None):
         """DDIM sampling with tiled eps evaluation + known-region locking."""
         cfg = self.cfg
         h, w = canvas
@@ -235,7 +267,9 @@ class TiledDiffusionEngine:
             tiles_c = slice_tiles(cond_full)
             tvec = jnp.full((tiles_x.shape[0],),
                             t_cur.astype(jnp.float32) / cfg.train_timesteps)
-            eps_tiles = self.model.apply(params, tiles_x, tvec, tiles_c)
+            cid = (None if class_id is None else
+                   jnp.full((tiles_x.shape[0],), class_id, jnp.int32))
+            eps_tiles = self.model.apply(params, tiles_x, tvec, tiles_c, cid)
             eps = blend_tiles(eps_tiles)
 
             x0 = (x - jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(ab_t)
@@ -256,7 +290,7 @@ class TiledDiffusionEngine:
         return jnp.where(mask > 0.5, x, image)
 
     @partial(jax.jit, static_argnames=("self", "canvas"))
-    def _sample_dpmpp(self, params, image, mask, key, canvas):
+    def _sample_dpmpp(self, params, image, mask, key, canvas, class_id=None):
         """DPM-Solver++(2M) with Karras sigmas (the reference's scheduler,
         ``satdiff.py:97``), tiled eps evaluation + known-region locking.
 
@@ -279,7 +313,10 @@ class TiledDiffusionEngine:
             tiles_c = slice_tiles(cond_full)
             tvec = jnp.full((tiles_x.shape[0],),
                             ti.astype(jnp.float32) / cfg.train_timesteps)
-            return blend_tiles(self.model.apply(params, tiles_x, tvec, tiles_c))
+            cid = (None if class_id is None else
+                   jnp.full((tiles_x.shape[0],), class_id, jnp.int32))
+            return blend_tiles(
+                self.model.apply(params, tiles_x, tvec, tiles_c, cid))
 
         k0, kloop = jax.random.split(key)
         x = jax.random.normal(k0, (h, w, cfg.img_channels)) * sigmas[0]
@@ -318,12 +355,15 @@ class TiledDiffusionEngine:
         return jnp.where(mask > 0.5, x, image)
 
     def inpaint(self, params, image: jnp.ndarray, mask: jnp.ndarray,
-                seed: int = 0, method: str = "dpmpp") -> jnp.ndarray:
+                seed: int = 0, method: str = "dpmpp",
+                prompt=None) -> jnp.ndarray:
         """image (H, W, C) in [-1, 1]-ish range; mask (H, W, 1), 1 = hole.
 
         ``method``: ``"dpmpp"`` (DPM-Solver++ 2M, Karras sigmas — reference
         default) or ``"ddim"``. Canvases smaller than the tile are padded
         (edge) and cropped back — slicing would otherwise fail.
+        ``prompt``: class-vocabulary prompt or index (see
+        :meth:`class_for_prompt`); ignored without ``cfg.class_names``.
         """
         h, w = image.shape[:2]
         ph = max(self.cfg.tile - h, 0)
@@ -334,8 +374,10 @@ class TiledDiffusionEngine:
             img = jnp.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
             msk = jnp.pad(msk, ((0, ph), (0, pw), (0, 0)))
         fn = self._sample_dpmpp if method == "dpmpp" else self._sample
+        cid = (self.class_for_prompt(prompt) if self.cfg.class_names
+               else None)
         out = fn(params, img, msk, jax.random.PRNGKey(seed),
-                 canvas=img.shape[:2])
+                 canvas=img.shape[:2], class_id=cid)
         return out[:h, :w]
 
     # ------------------------------------------------------------------
@@ -359,7 +401,7 @@ class TiledDiffusionEngine:
     def load_params(self, params):
         self._params = params
 
-    def _duck(self, image, mask, seed=0):
+    def _duck(self, image, mask, seed=0, prompt=None, **_ignored):
         from pcmi_tpu.models.dip import DIPResult
 
         params = self._ensure_params()
@@ -372,7 +414,7 @@ class TiledDiffusionEngine:
         m = jnp.asarray(mask, jnp.float32)
         m = m[..., None] if m.ndim == 2 else m[..., :1]
         x = img * 2.0 - 1.0            # processors use [0, 1]
-        out = self.inpaint(params, x, m, seed=seed)
+        out = self.inpaint(params, x, m, seed=seed, prompt=prompt)
         out = jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
         if squeeze:
             out = out[..., 0]
