@@ -23,7 +23,7 @@ import numpy as np
 
 
 def main(steps: int = 1500, batch: int = 16, size: int = 128,
-         eval_scenes: int = 64, seed: int = 0):
+         eval_scenes: int = 64, seed: int = 0, hard: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -36,14 +36,14 @@ def main(steps: int = 1500, batch: int = 16, size: int = 128,
 
     trainer = OBBDetectorTrainer(DetectorTrainConfig(lr=1e-3))
     key = jax.random.PRNGKey(seed)
-    images, obbs, valid = synthesize_obb_batch(key, batch, size)
+    images, obbs, valid = synthesize_obb_batch(key, batch, size, hard=hard)
     params, opt = trainer.init(jax.random.PRNGKey(seed + 1), images)
 
     t0 = time.perf_counter()
     loss = float("nan")
     for step in range(steps):
         key, sub = jax.random.split(key)
-        images, obbs, valid = synthesize_obb_batch(sub, batch, size)
+        images, obbs, valid = synthesize_obb_batch(sub, batch, size, hard=hard)
         params, opt, metrics = trainer.train_step(params, opt, images, obbs, valid)
         if step % 200 == 0 or step == steps - 1:
             loss = float(metrics["loss"])
@@ -55,7 +55,8 @@ def main(steps: int = 1500, batch: int = 16, size: int = 128,
     per_batch = 8
     for _ in range(eval_scenes // per_batch):
         eval_key, sub = jax.random.split(eval_key)
-        images, obbs, valid = synthesize_obb_batch(sub, per_batch, size)
+        images, obbs, valid = synthesize_obb_batch(sub, per_batch, size,
+                                                   hard=hard)
         out = np.asarray(detect(images))
         for i in range(per_batch):
             d = out[i]
@@ -64,6 +65,8 @@ def main(steps: int = 1500, batch: int = 16, size: int = 128,
             gts.append(g)
 
     ap, stats = map50(dets, gts)
+    # PR curve samples (precision at fixed recalls) for the report
+    pr = stats.pop("pr_curve", None)
     result = {
         "metric": "detector_obb_map50",
         "value": round(ap, 4),
@@ -72,7 +75,9 @@ def main(steps: int = 1500, batch: int = 16, size: int = 128,
         "detail": {
             "steps": steps, "batch": batch, "train_seconds": round(train_s, 1),
             "final_loss": round(loss, 4), "eval_scenes": eval_scenes,
+            "hard_scenes": bool(hard),
             **stats,
+            "pr_curve": pr,
             "gates": {"map50_ge_0.9": bool(ap >= 0.9)},
         },
     }
@@ -84,5 +89,7 @@ if __name__ == "__main__":
     ap_ = argparse.ArgumentParser()
     ap_.add_argument("--steps", type=int, default=1500)
     ap_.add_argument("--batch", type=int, default=16)
+    ap_.add_argument("--easy", action="store_true",
+                     help="the original distractor-free scenes")
     args = ap_.parse_args()
-    main(steps=args.steps, batch=args.batch)
+    main(steps=args.steps, batch=args.batch, hard=not args.easy)

@@ -127,9 +127,15 @@ def map50(
     recalls = tps / n_gt
     precisions = tps / np.maximum(tps + fps, 1e-9)
     ap = average_precision(recalls, precisions) if records else 0.0
+    # PR curve samples: best precision at/above fixed recall levels
+    pr_curve = {}
+    for r in (0.5, 0.7, 0.8, 0.9, 0.95):
+        m = recalls >= r
+        pr_curve[f"p_at_r{r:g}"] = float(precisions[m].max()) if m.any() else 0.0
     return ap, {
         "n_gt": n_gt,
         "n_det": len(records),
         "recall": float(recalls[-1]) if len(recalls) else 0.0,
         "precision": float(precisions[-1]) if len(precisions) else 0.0,
+        "pr_curve": pr_curve,
     }

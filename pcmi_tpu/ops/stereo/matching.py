@@ -216,7 +216,8 @@ def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig,
 
 
 def wta_disparity(vol: jnp.ndarray, d_min: int, with_margin: bool = False,
-                  subpixel: bool = True, stride: int = 1):
+                  subpixel: bool = True, stride: int = 1,
+                  backend: str = "auto"):
     """Argmin over D + parabola sub-pixel (matches numpy_ref semantics).
 
     Gather-free: ``take_along_axis`` over the D axis lowers to scatter/gather
@@ -234,6 +235,16 @@ def wta_disparity(vol: jnp.ndarray, d_min: int, with_margin: bool = False,
     the parabola interpolates at that spacing (offset scaled by stride).
     """
     D = vol.shape[0]
+    if backend == "auto" and jax.default_backend() == "tpu" and D >= 4:
+        # fused single-pass kernel: the XLA form below costs four full
+        # volume passes (argmin, neighbour takes, away-margin reduce) —
+        # the largest non-SGM stage at the flagship canvas. Parity is
+        # exact (same tie-breaking, boundary gating and margin set).
+        from pcmi_tpu.ops.stereo.pallas_kernels import wta_fused_pallas
+
+        disp, best, margin = wta_fused_pallas(
+            vol, d_min, stride=stride, subpixel=subpixel)
+        return (disp, best, margin) if with_margin else (disp, best)
     best_d = jnp.argmin(vol, axis=0).astype(jnp.int32)  # (H, W)
     ds = jax.lax.broadcasted_iota(jnp.int32, vol.shape, 0)
     big = jnp.asarray(1e9, vol.dtype)

@@ -454,3 +454,140 @@ def sgm_aggregate_pallas(
     rl = _dir_call(vol_t, 0, True, band, chunk, p1, p2)
     out = (tb + bt + jnp.swapaxes(lr + rl, 0, 1)) * 0.25
     return out[:h, :w, :d]
+
+
+# ---------------------------------------------------------------------------
+# Fused single-pass WTA (argmin + subpixel neighbours + uniqueness margin)
+# ---------------------------------------------------------------------------
+
+
+def _make_wta_kernel(nk: int, dc: int, hc: int, d_min: float, stride: float,
+                     subpixel: bool):
+    """One streaming read of a (D, H, W) volume -> (disp, best, margin).
+
+    The XLA WTA costs four full-volume passes (argmin, two neighbour
+    takes, the away-margin reduction); at the flagship canvas that is
+    the single largest non-SGM stage. Here per-(hc, 128) tile state
+    tracks the FOUR smallest costs with their disparity indices (the
+    best's two neighbours can occupy at most two of the top-4 slots, so
+    the first non-neighbour slot is exactly the >1-px-away margin the
+    XLA form computes) plus the best's d±1 values for the parabola —
+    one pass, exact.
+    """
+
+    def kernel(vol_ref, disp_hbm, best_hbm, marg_hbm,
+               st, disp_s, best_s, marg_s, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            st[...] = jnp.full_like(st, BIG)
+            # index slots (4..7) start at impossible positions
+            st[4] = jnp.full_like(st[4], -8.0)
+            st[5] = jnp.full_like(st[5], -8.0)
+            st[6] = jnp.full_like(st[6], -8.0)
+            st[7] = jnp.full_like(st[7], -8.0)
+
+        def slice_body(di, _):
+            dd = (k * dc + di).astype(jnp.float32)
+            val = vol_ref[di].astype(jnp.float32)
+            v1, v2, v3, v4 = st[0], st[1], st[2], st[3]
+            i1, i2, i3, i4 = st[4], st[5], st[6], st[7]
+            prevv, nextv, last = st[8], st[9], st[10]
+
+            b1 = val < v1
+            b2 = val < v2
+            b3 = val < v3
+            b4 = val < v4
+            # sorted top-4 insertion (indices ride along)
+            st[3] = jnp.where(b3, v3, jnp.where(b4, val, v4))
+            st[7] = jnp.where(b3, i3, jnp.where(b4, dd, i4))
+            st[2] = jnp.where(b2, v2, jnp.where(b3, val, v3))
+            st[6] = jnp.where(b2, i2, jnp.where(b3, dd, i3))
+            st[1] = jnp.where(b1, v1, jnp.where(b2, val, v2))
+            st[5] = jnp.where(b1, i1, jnp.where(b2, dd, i2))
+            st[0] = jnp.where(b1, val, v1)
+            st[4] = jnp.where(b1, dd, i1)
+            # subpixel neighbours of the running best: on a new best the
+            # left neighbour is the previous slice and the right one is
+            # pending (filled on the next slice)
+            st[8] = jnp.where(b1, last, prevv)
+            st[9] = jnp.where(b1, BIG, jnp.where(dd == i1 + 1.0, val, nextv))
+            st[10] = val
+            return 0
+
+        jax.lax.fori_loop(0, dc, slice_body, 0)
+
+        @pl.when(k == nk - 1)
+        def _():
+            v1, v2, v3, v4 = st[0], st[1], st[2], st[3]
+            i1, i2, i3, i4 = st[4], st[5], st[6], st[7]
+            prevv, nextv = st[8], st[9]
+            if subpixel:
+                denom = prevv + nextv - 2.0 * v1
+                ok = (prevv < 0.5 * BIG) & (nextv < 0.5 * BIG) & (denom > 1e-9)
+                off = jnp.where(
+                    ok, 0.5 * (prevv - nextv) / jnp.maximum(denom, 1e-9), 0.0)
+                off = jnp.clip(off, -1.0, 1.0)
+            else:
+                off = 0.0
+            disp_s[...] = d_min + stride * (i1 + off)
+            best_s[...] = v1
+            a2 = jnp.abs(i2 - i1) > 1.0
+            a3 = jnp.abs(i3 - i1) > 1.0
+            marg_s[...] = jnp.where(a2, v2, jnp.where(a3, v3, v4)) - v1
+            hs = disp_s.shape[0]
+            for n, (s, hbm) in enumerate(((disp_s, disp_hbm),
+                                          (best_s, best_hbm),
+                                          (marg_s, marg_hbm))):
+                cp = pltpu.make_async_copy(
+                    s, hbm.at[pl.ds(i * hs, hs), pl.ds(j * 128, 128)],
+                    sem.at[n])
+                cp.start()
+                cp.wait()
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("d_min", "stride", "subpixel",
+                                   "hc", "dc"))
+def wta_fused_pallas(vol_dhw: jnp.ndarray, d_min: int, stride: int = 1,
+                     subpixel: bool = True, hc: int = 64, dc: int = 16):
+    """(disp, best, margin) from a (D, H, W) volume in one streaming read.
+
+    Parity with ``matching.wta_disparity(..., with_margin=True)`` up to
+    f32 arithmetic order. Disparity-axis padding is BIG (never wins);
+    spatial padding is cropped from the outputs.
+    """
+    d, h, w = vol_dhw.shape
+    dp = int(np.ceil(d / dc) * dc)
+    hp = int(np.ceil(h / hc) * hc)
+    wp = int(np.ceil(w / 128) * 128)
+    vol = jnp.pad(vol_dhw, ((0, dp - d), (0, 0), (0, 0)),
+                  constant_values=BIG)
+    vol = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w)))
+    nk = dp // dc
+
+    kernel = _make_wta_kernel(nk, dc, hc, float(d_min), float(stride),
+                              bool(subpixel))
+    out_shape = [jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 3
+    disp, best, marg = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(hp // hc, wp // 128, nk),
+        in_specs=[pl.BlockSpec((dc, hc, 128), lambda i, j, k: (k, i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((11, hc, 128), jnp.float32),
+            pltpu.VMEM((hc, 128), jnp.float32),
+            pltpu.VMEM((hc, 128), jnp.float32),
+            pltpu.VMEM((hc, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(vol)
+    return disp[:h, :w], best[:h, :w], marg[:h, :w]

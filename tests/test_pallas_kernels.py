@@ -72,3 +72,25 @@ def test_sgm_pallas_nonaligned_shapes(rng):
                              cfg.sgm_p1, cfg.sgm_p2)
     ), -1, 0)
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+
+def test_wta_fused_parity(rng):
+    """Fused single-pass WTA == XLA WTA (disp/best/margin), incl. ties,
+    boundary argmins and stride decoding (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from pcmi_tpu.ops.stereo.matching import wta_disparity
+    from pcmi_tpu.ops.stereo.pallas_kernels import wta_fused_pallas
+
+    vol = rng.uniform(0.2, 1.0, (24, 40, 200)).astype(np.float32)
+    vol[0, :8] = 0.01     # boundary argmin cases
+    vol[23, 8:16] = 0.01
+    vol[5, 20:] = vol[9, 20:]  # ties across disparities
+    v = jnp.asarray(vol)
+    for stride, sub in [(1, True), (2, True), (1, False)]:
+        d1, b1, m1 = wta_fused_pallas(v, -12, stride=stride, subpixel=sub)
+        d0, b0, m0 = wta_disparity(v, -12, with_margin=True, subpixel=sub,
+                                   stride=stride, backend="xla")
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-6)
