@@ -54,7 +54,10 @@ def robust_bounds(img: jnp.ndarray, mask: jnp.ndarray, nb: float = 8.0,
         # medians — the sort the exact path pays costs ~7 ms/plane on the
         # target chip (see masked_median_grid); the hot path tolerates the
         # (hi-lo)/128 + interpolation quantisation easily (bounds get
-        # x8 MAD slack)
+        # x8 MAD slack). Runs at FULL resolution: strided subsampling
+        # costs a ~2-5 ms lane relayout on TPU while the extra counted
+        # pixels are essentially free — the grid pass replaces the
+        # subsampling trick entirely (exact statistics, faster).
         lo = jnp.min(jnp.where(mk, im, jnp.inf))
         hi = jnp.max(jnp.where(mk, im, -jnp.inf))
         lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
@@ -65,16 +68,7 @@ def robust_bounds(img: jnp.ndarray, mask: jnp.ndarray, nb: float = 8.0,
         return med, mad
 
     if subsample > 1 and img.ndim == 2:
-        img_q = img[::subsample, ::subsample]
-        mask_q = mask[::subsample, ::subsample]
-        # a sparse mask (thin footprint sliver confined to odd rows/cols)
-        # can leave the strided grid with ~no valid pixels — fall back to
-        # the exact full-resolution estimate rather than degenerate bounds
-        med, mad = jax.lax.cond(
-            jnp.sum(mask_q) >= 64,
-            lambda: _med_mad_grid(img_q, mask_q),
-            lambda: _med_mad(img, mask),
-        )
+        med, mad = _med_mad_grid(img, mask)
     else:
         med, mad = _med_mad(img, mask)
     lo = med - nb * mad
@@ -154,21 +148,16 @@ def snr_ratio(img: jnp.ndarray, mask: jnp.ndarray,
            - f[1:-1, :-2] - f[1:-1, 2:])
     m4 = (mask[1:-1, 1:-1] & mask[:-2, 1:-1] & mask[2:, 1:-1]
           & mask[1:-1, :-2] & mask[1:-1, 2:])
-    s = subsample
-    # one-pass grid medians: inputs are normalised to [0, 1], so
-    # |laplacian| and the high-pass magnitude live in known bounded
-    # ranges — both the sort-based quantile (~7 ms/plane) and a
-    # sequential bisection loop (~0.4 ms/step kernel latency) lose to a
-    # single fused compare-and-count pass (see masked_median_grid)
-    noise = masked_median_grid(jnp.abs(lap)[::s, ::s], m4[::s, ::s],
+    del subsample  # kept for API stability; full-res is the fast form
+    # one-pass FULL-RESOLUTION grid medians: the sort-based quantile
+    # (~7 ms/plane), a sequential bisection loop (~0.4 ms/step kernel
+    # latency) and even a [::s] strided subsample (~2-5 ms lane relayout)
+    # all lose to a single fused compare-and-count pass over every pixel
+    # (~0.05 ms at the flagship canvas — see masked_median_grid)
+    noise = masked_median_grid(jnp.abs(lap), m4,
                                0.0, 8.0) * (1.4826 / jnp.sqrt(20.0))
-    # signal: full-resolution sigma=2 high-pass (the calibration
-    # estimator). Counter-intuitively the FULL-res conv is the fast form
-    # on TPU: a strided slice feeding a conv forces a ~2 ms lane
-    # relayout, while slicing the conv's OUTPUT into the median reduce
-    # fuses away; the separable gaussian itself is sub-ms.
     hp = jnp.abs(f - gaussian_filter(f, sigma=2.0))
-    signal = masked_median_grid(hp[::s, ::s], mask[::s, ::s], 0.0, 2.0)
+    signal = masked_median_grid(hp, mask, 0.0, 2.0)
     return noise / jnp.maximum(signal, 1e-6)
 
 

@@ -200,13 +200,12 @@ def pair_core(
     photo_thresh = jnp.float32(cfg.photo_threshold)
     if cfg.photo_adapt_factor > 0:
         from pcmi_tpu.ops.normalize import masked_median_grid
-        # strided grid + one-pass grid quantile: the median of a smooth
-        # residual field is unchanged by 2x subsampling, its range is
-        # known ([0, ~2] on normalised imagery), and both a full-canvas
-        # SORT (~7 ms) and a sequential bisection loop (~0.4 ms/step
-        # small-kernel latency) lose to one fused compare-and-count pass
-        floor = masked_median_grid(photo[::2, ::2],
-                                   (res.valid & v1)[::2, ::2], 0.0, 2.0)
+        # one-pass FULL-RES grid quantile: the residual range is known
+        # ([0, ~2] on normalised imagery); a full-canvas SORT (~7 ms), a
+        # bisection loop (~0.4 ms/step) and even a [::2] subsample
+        # (~5 ms lane relayout!) all lose to one fused
+        # compare-and-count pass over every pixel (~0.05 ms)
+        floor = masked_median_grid(photo, res.valid & v1, 0.0, 2.0)
         photo_thresh = jnp.maximum(photo_thresh,
                                    cfg.photo_adapt_factor * floor)
     photo_ok = photo < photo_thresh
