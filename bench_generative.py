@@ -133,12 +133,18 @@ def bench_sr(steps: int, size: int = 96, batch: int = 8, seed: int = 0):
             "gain_db": round(p_sr - p_bi, 3), "train_seconds": round(train_s, 1)}
 
 
-def bench_inpaint(steps: int, size: int = 96, batch: int = 8, seed: int = 0):
+def bench_inpaint(steps: int, size: int = 96, batch: int = 8, seed: int = 0,
+                  eval_seeds: int = 3):
+    """Seed-AVERAGED in-hole PSNR gain over the diffusion prefill, plus
+    SSIM (structure evidence the reference only ever eyeballed). The gate
+    the VERDICT set is >= 1 dB with seed error bars — a thin single-seed
+    margin proves plumbing, not capability."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from pcmi_tpu.models.losses import random_hole_masks
-    from pcmi_tpu.models.metrics import psnr
+    from pcmi_tpu.models.metrics import psnr, ssim
     from pcmi_tpu.models.training import InpaintGANTrainer, InpaintTrainConfig
     from pcmi_tpu.pipelines.generative import diffusion_prefill
 
@@ -153,20 +159,36 @@ def bench_inpaint(steps: int, size: int = 96, batch: int = 8, seed: int = 0):
         state, m = trainer.train_step(state, imgs, k2)
     train_s = time.perf_counter() - t0
 
-    ek = jax.random.PRNGKey(60_000 + seed)
-    imgs_t = _batch(ek, batch, size)
-    mask = random_hole_masks(jax.random.PRNGKey(61_000 + seed),
-                             (batch, size, size), 6, 10)
-    out = trainer.infer(state, imgs_t, mask)
-    pre = jnp.stack([
-        diffusion_prefill(imgs_t[i], mask[i, ..., 0] > 0.5)
-        for i in range(batch)
-    ])
-    m3 = mask  # (B, H, W, 1) broadcasts over channels
-    p_model = float(psnr(out, imgs_t, mask=m3))
-    p_prefill = float(psnr(pre, imgs_t, mask=m3))
-    return {"inpaint_psnr": round(p_model, 3), "prefill_psnr": round(p_prefill, 3),
-            "gain_db": round(p_model - p_prefill, 3),
+    gains, psnrs, prefills, ssims = [], [], [], []
+    for es in range(eval_seeds):
+        ek = jax.random.PRNGKey(60_000 + seed + 97 * es)
+        imgs_t = _batch(ek, batch, size)
+        mask = random_hole_masks(jax.random.PRNGKey(61_000 + seed + 97 * es),
+                                 (batch, size, size), 6, 10)
+        out = trainer.infer(state, imgs_t, mask)
+        pre = jnp.stack([
+            diffusion_prefill(imgs_t[i], mask[i, ..., 0] > 0.5)
+            for i in range(batch)
+        ])
+        m3 = mask  # (B, H, W, 1) broadcasts over channels
+        p_model = float(psnr(out, imgs_t, mask=m3))
+        p_prefill = float(psnr(pre, imgs_t, mask=m3))
+        # composite the hole fill into the image for structure metrics
+        comp = jnp.where(m3 > 0.5, out, imgs_t)
+        comp_pre = jnp.where(m3 > 0.5, pre, imgs_t)
+        ssims.append((float(ssim(comp, imgs_t)), float(ssim(comp_pre, imgs_t))))
+        gains.append(p_model - p_prefill)
+        psnrs.append(p_model)
+        prefills.append(p_prefill)
+    gains = np.asarray(gains)
+    return {"inpaint_psnr": round(float(np.mean(psnrs)), 3),
+            "prefill_psnr": round(float(np.mean(prefills)), 3),
+            "gain_db": round(float(gains.mean()), 3),
+            "gain_db_std": round(float(gains.std()), 3),
+            "gain_db_min": round(float(gains.min()), 3),
+            "ssim": round(float(np.mean([a for a, _ in ssims])), 4),
+            "ssim_prefill": round(float(np.mean([b for _, b in ssims])), 4),
+            "eval_seeds": eval_seeds,
             "train_seconds": round(train_s, 1)}
 
 
@@ -191,7 +213,7 @@ def bench_dip(size: int = 96, seed: int = 0):
             "gain_db": round(p_out - p_in, 3)}
 
 
-def main(sr_steps=800, inpaint_steps=800):
+def main(sr_steps=800, inpaint_steps=12000):
     sr = bench_sr(sr_steps)
     inp = bench_inpaint(inpaint_steps)
     dip = bench_dip()
@@ -205,6 +227,7 @@ def main(sr_steps=800, inpaint_steps=800):
             "gates": {
                 "sr_beats_bicubic": bool(sr["gain_db"] > 0),
                 "inpaint_beats_prefill": bool(inp["gain_db"] > 0),
+                "inpaint_gain_ge_1db": bool(inp["gain_db"] >= 1.0),
                 "dip_denoises": bool(dip["gain_db"] > 0),
             },
         },
@@ -216,6 +239,6 @@ def main(sr_steps=800, inpaint_steps=800):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sr-steps", type=int, default=800)
-    ap.add_argument("--inpaint-steps", type=int, default=800)
+    ap.add_argument("--inpaint-steps", type=int, default=12000)
     a = ap.parse_args()
     main(a.sr_steps, a.inpaint_steps)
