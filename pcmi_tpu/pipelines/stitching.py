@@ -136,23 +136,30 @@ def ncc_match(
         lambda c: jax.lax.dynamic_slice(padded2, (c[0] + win, c[1] + win), (win, win))
     )(centers)
 
-    # normalised cross-correlation via unfold einsum: (N, S, S) scores
+    # Normalised cross-correlation as a GROUPED convolution: each corner's
+    # unit-norm zero-mean patch is one depthwise filter over its own search
+    # window (MXU work), and the per-position normaliser comes from two
+    # box-sum convs — O(N·S²) memory instead of the O(N·S²·p²) unfold the
+    # previous double-vmap form materialised. Since the template is
+    # zero-mean, correlating the RAW window equals correlating the
+    # mean-subtracted one, so scores are identical.
     S = 2 * search + 1
-    def corr_one(wn, pp):
-        # local mean/var for window patches
-        patches = jnp.stack([
-            jax.lax.dynamic_slice(wn, (i, 0), (patch, win))
-            for i in range(S)
-        ])  # (S, patch, win)
-        def col(j):
-            sub = jax.lax.dynamic_slice(patches, (0, 0, j), (S, patch, patch))
-            sub = sub - sub.mean(axis=(1, 2), keepdims=True)
-            nrm = jnp.maximum(jnp.linalg.norm(sub, axis=(1, 2)), 1e-6)
-            return jnp.einsum("syx,yx->s", sub, pp, precision=HIGHEST) / nrm
-        cols = jax.vmap(col)(jnp.arange(S))  # (S, S) [x, y]
-        return cols.T  # (y, x)
+    n = p1.shape[0]
+    lhs = wins[None].astype(jnp.float32)             # (1, N, win, win)
+    dn = jax.lax.conv_dimension_numbers(
+        lhs.shape, (n, 1, patch, patch), ("NCHW", "OIHW", "NCHW"))
 
-    scores = jax.vmap(corr_one)(wins, p1)  # (N, S, S)
+    def gconv(x, rhs):
+        return jax.lax.conv_general_dilated(
+            x, rhs, (1, 1), "VALID", dimension_numbers=dn,
+            feature_group_count=n, precision=HIGHEST)[0]  # (N, S, S)
+
+    raw = gconv(lhs, p1[:, None])
+    ones = jnp.ones((n, 1, patch, patch), jnp.float32)
+    s1 = gconv(lhs, ones)
+    s2 = gconv(lhs * lhs, ones)
+    var = jnp.maximum(s2 - s1 * s1 / (patch * patch), 0.0)
+    scores = raw / jnp.maximum(jnp.sqrt(var), 1e-6)  # (N, S, S)
     flat = scores.reshape(scores.shape[0], -1)
     best = jnp.argmax(flat, axis=1)
     sc = jnp.max(flat, axis=1)
