@@ -328,6 +328,13 @@ def derive_right_volume(vol: jnp.ndarray, d_min: int,
     any aggregated cost so padding never wins the right-view WTA. SGM does
     not commute with the shift exactly; shifting the aggregated volume is
     the standard single-volume approximation (libSGM / OpenCV CUDA SGM)."""
+    if jax.default_backend() == "tpu" and vol.shape[0] >= 96:
+        # pure data movement: the double-buffered DMA-pipe kernel beats
+        # the scan form on deep volumes (the MAX_DISP=288 regime); at
+        # shallow D the XLA scan is already bandwidth-adequate
+        from pcmi_tpu.ops.stereo.pallas_kernels import derive_right_pallas
+
+        return derive_right_pallas(vol, d_min, fill=fill, stride=stride)
     D, h, w = vol.shape
     pad = max(abs(d_min), abs(d_min + (D - 1) * stride)) + 1
     volp = jnp.pad(vol, ((0, 0), (0, 0), (pad, pad)), constant_values=fill)

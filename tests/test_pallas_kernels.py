@@ -94,3 +94,23 @@ def test_wta_fused_parity(rng):
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-5)
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), atol=1e-6)
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-6)
+
+
+def test_derive_right_pallas_parity(rng):
+    """DMA-pipe right-volume derivation == XLA scan form, bit-exact."""
+    import jax.numpy as jnp
+
+    from pcmi_tpu.ops.stereo.pallas_kernels import derive_right_pallas
+
+    vol = jnp.asarray(rng.uniform(0, 1, (24, 50, 300)).astype(np.float32))
+    D, h, w = vol.shape
+    for d_min, stride, fill in [(-12, 1, 1.0), (-24, 2, 1e4), (0, 1, 1.0)]:
+        got = np.asarray(derive_right_pallas(vol, d_min, fill=fill,
+                                             stride=stride))
+        pad = max(abs(d_min), abs(d_min + (D - 1) * stride)) + 1
+        volp = np.pad(np.asarray(vol), ((0, 0), (0, 0), (pad, pad)),
+                      constant_values=fill)
+        ref = np.stack([volp[i, :, pad + d_min + i * stride:
+                             pad + d_min + i * stride + w]
+                        for i in range(D)])
+        np.testing.assert_array_equal(got, ref)
