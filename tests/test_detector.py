@@ -45,7 +45,7 @@ def test_detector_trains_and_detects():
                                                     batch=8, size=128)
     params, opt = trainer.init(jax.random.PRNGKey(1), imgs)
     losses = []
-    for i in range(250):
+    for i in range(150):
         if i % 10 == 0:
             imgs, boxes, valid = synthesize_detection_batch(
                 jax.random.PRNGKey(i), batch=8, size=128)
@@ -114,7 +114,7 @@ def test_obb_detector_short_training_map():
     key = jax.random.PRNGKey(0)
     imgs, obbs, valid = synthesize_obb_batch(key, batch=8, size=96)
     params, opt = trainer.init(jax.random.PRNGKey(1), imgs)
-    for i in range(120):
+    for i in range(80):
         key, sub = jax.random.split(key)
         imgs, obbs, valid = synthesize_obb_batch(sub, batch=8, size=96)
         params, opt, m = trainer.train_step(params, opt, imgs, obbs, valid)
