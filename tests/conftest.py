@@ -40,3 +40,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables at module teardown.
+
+    The suite runs on a SINGLE CPU core; by the later (alphabetical) test
+    modules the process holds every executable previous modules compiled,
+    and the resulting allocator pressure was measured to triple the wall
+    time of the big stereo executables (scene-family tests: 70 s as a
+    file, 250+ s late in the full suite). Cross-module executable reuse
+    is rare (modules use distinct canvas/config combinations), so
+    clearing at module boundaries trades nothing for bounded memory."""
+    yield
+    jax.clear_caches()

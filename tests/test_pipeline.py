@@ -27,7 +27,7 @@ VIEWS3 = ((10.0, 80.0), (20.0, 250.0), (16.0, 170.0))
 @pytest.fixture(scope="module")
 def scene():
     return make_stereo_scene(
-        seed=1, out_shape=(320, 320), ground_shape=(448, 448),
+        seed=1, out_shape=(256, 256), ground_shape=(384, 384),
         h_range=(0.0, 40.0), views=VIEWS3,
     )
 
