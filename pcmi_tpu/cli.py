@@ -158,20 +158,39 @@ def cmd_run(args) -> int:
 
 
 def cmd_height_map(args) -> int:
+    """Single-pair flagship: sources -> rectify -> disparity -> height.
+
+    Accepts the same sources as ``fuse``: ``--demo`` or real
+    ``--images DIR --kml FILE`` acquisitions ingested through
+    ``prepare_aoi_stack`` (the reference flow ``widget.py:98-147`` ->
+    ``disparity/plugin.py:36-243``). The best-convergence pair is
+    selected with the reference's Facciolo heuristic; products are the
+    canvas-space height/disparity rasters, the point cloud, and a
+    georeferenced north-up DSM GeoTIFF.
+    """
     from pcmi_tpu.config import PipelineConfig, from_flat_overrides
+    from pcmi_tpu.geometry.pairs import select_pairs, take_pairs
     from pcmi_tpu.io.raster import write_ply, write_tiff
+    from pcmi_tpu.pipelines.height_map import (
+        HeightMapPipeline,
+        product_point_cloud,
+    )
 
     cfg = from_flat_overrides(PipelineConfig(), _parse_overrides(args.set))
-    from pcmi_tpu.pipelines.height_map import HeightMapPipeline, product_point_cloud
-
-    if not args.demo:
-        print("only --demo sources are wired in this build", file=sys.stderr)
+    stack = _load_stack(args, cfg)
+    if stack is None:
         return 2
-    scene, (lon_r, lat_r) = _demo_scene(cfg)
+    images, rpcs, metas, lon_r, lat_r = stack
+    cands = take_pairs(select_pairs(metas, cfg.pairs), 1)
+    if not cands:  # no geometrically valid pair: best-ranked late bloomer
+        cands = select_pairs(metas, cfg.pairs)[:1]
+    pair = cands[0]
+    i, j = pair.i, pair.j
+
     pipe = HeightMapPipeline(cfg)
-    geom = pipe.build_geometry(scene.rpcs[0], scene.rpcs[1], lon_r, lat_r,
-                               scene.images[0].shape, scene.images[1].shape)
-    product = pipe.process_pair(scene.images[0], scene.images[1], geom)
+    geom = pipe.build_geometry(rpcs[i], rpcs[j], lon_r, lat_r,
+                               images[i].shape, images[j].shape)
+    product = pipe.process_pair(images[i], images[j], geom)
     os.makedirs(args.output, exist_ok=True)
     write_tiff(os.path.join(args.output, "height.tif"),
                np.asarray(product.height))
@@ -179,13 +198,46 @@ def cmd_height_map(args) -> int:
                np.asarray(product.disparity))
     pts, w = product_point_cloud(product)
     keep = np.asarray(w) > 0
-    write_ply(os.path.join(args.output, "cloud.ply"),
-              np.asarray(pts)[keep], np.asarray(pts)[keep][:, 2])
+    pts = np.asarray(pts)[keep]
+    wts = np.asarray(w)[keep].astype(np.float32)
+    write_ply(os.path.join(args.output, "cloud.ply"), pts, pts[:, 2])
+
+    # Georeferenced product: grid the pair's points to a north-up DSM
+    # (the reference's per-pair napari points layer becomes a GeoTIFF).
+    dsm_shape = None
+    if len(pts):
+        import jax.numpy as jnp
+
+        from pcmi_tpu.pipelines.streaming import (
+            StreamingDSM,
+            dsm_finalize,
+            dsm_update,
+        )
+
+        cell = 2.0
+        x0 = float(np.floor(pts[:, 0].min()))
+        y0 = float(np.floor(pts[:, 1].min()))
+        nx = max(int(np.ceil((pts[:, 0].max() - x0) / cell)) + 1, 1)
+        ny = max(int(np.ceil((pts[:, 1].max() - y0) / cell)) + 1, 1)
+        acc = StreamingDSM(wsum=jnp.zeros((ny, nx)),
+                           vsum=jnp.zeros((ny, nx)),
+                           vsq=jnp.zeros((ny, nx)))
+        acc = dsm_update(acc, jnp.asarray(pts[:, :2]),
+                         jnp.asarray(pts[:, 2]), jnp.asarray(wts),
+                         (x0, y0), cell, (ny, nx), robust_sigma=3.0)
+        dsm, _ = dsm_finalize(acc)
+        _write_north_up(os.path.join(args.output, "dsm.tif"), dsm,
+                        (x0, y0), cell)
+        dsm_shape = [ny, nx]
+
     valid = np.asarray(product.valid)
     print(json.dumps({
+        "pair": [metas[i].name or str(i), metas[j].name or str(j)],
+        "convergence_deg": round(pair.convergence_deg, 2),
         "canvas": list(geom.out_shape),
         "valid_fraction": float(valid.mean()),
         "points": int(keep.sum()),
+        "dsm_shape": dsm_shape,
     }))
     return 0
 
