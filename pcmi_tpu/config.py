@@ -152,6 +152,21 @@ class StereoConfig:
     # recovery: parabola at spacing s, whose larger quantisation the
     # consistency thresholds absorb (see *_eff properties). 1 = exact.
     disp_stride: int = 1
+    # Tile-adaptive disparity range (ops.stereo.banded): a 1/scale coarse
+    # pass centers an ``adapt_local_disp``-wide window per
+    # ``adapt_band_rows x adapt_band_cols`` tile (bilinearly interpolated
+    # to a smooth per-pixel warp of the right view), and the
+    # full-resolution matcher searches only that window — typically 2x
+    # narrower than the geometric envelope on steep scenes.
+    # adapt_band_rows=0 disables (full ``max_disp`` search);
+    # adapt_band_cols=0 means full-width row bands (ONLY appropriate when
+    # disparity barely varies along x — real terrain varies as much along
+    # x as y, so 2D tiles are the default choice). Composes with
+    # ``disp_stride`` (the stride then samples the LOCAL window).
+    adapt_band_rows: int = 0
+    adapt_band_cols: int = 64
+    adapt_local_disp: int = 96       # local window width (multiple of 16)
+    adapt_coarse_scale: int = 4      # coarse-pass downsample factor
 
     def __post_init__(self):
         object.__setattr__(self, "max_disp", _round_up(int(self.max_disp), 16))
@@ -176,6 +191,28 @@ class StereoConfig:
                              f"got {self.disp_stride!r}")
         if self.max_disp % self.disp_stride:
             raise ValueError("max_disp must be a multiple of disp_stride")
+        if self.adapt_band_rows:
+            if self.hierarchical:
+                raise ValueError(
+                    "adapt_band_rows and hierarchical are exclusive "
+                    "search-reduction strategies")
+            if self.adapt_local_disp % 16 or self.adapt_local_disp <= 0:
+                raise ValueError("adapt_local_disp must be a positive "
+                                 "multiple of 16")
+            if self.adapt_local_disp % self.disp_stride:
+                raise ValueError(
+                    "adapt_local_disp must be a multiple of disp_stride")
+            if self.adapt_local_disp > self.max_disp:
+                raise ValueError(
+                    "adapt_local_disp wider than the max_disp envelope")
+            if self.adapt_coarse_scale not in (2, 4, 8):
+                raise ValueError("adapt_coarse_scale must be 2, 4 or 8")
+            if self.adapt_band_rows % self.adapt_coarse_scale:
+                raise ValueError(
+                    "adapt_band_rows must be a multiple of adapt_coarse_scale")
+            if self.adapt_band_cols % self.adapt_coarse_scale:
+                raise ValueError(
+                    "adapt_band_cols must be a multiple of adapt_coarse_scale")
 
     @property
     def min_disparity(self) -> int:

@@ -11,10 +11,13 @@ from pcmi_tpu.ops.stereo.matching import (
     sgm_aggregate,
     wta_disparity,
 )
+from pcmi_tpu.ops.stereo.banded import banded_disparity, window_coverage
 from pcmi_tpu.ops.stereo.hierarchical import compute_disparity_hierarchical
 
 __all__ = [
     "DisparityResult",
+    "banded_disparity",
+    "window_coverage",
     "build_cost_volume",
     "census_transform",
     "compute_disparity",

@@ -102,6 +102,29 @@ def _box_edge(img: jnp.ndarray, block: int) -> jnp.ndarray:
     return out
 
 
+def shift_rows(img: jnp.ndarray, shifts: jnp.ndarray, pad: int, fill):
+    """out(y, x) = img(y, x - shifts[...]) — the column warp behind the
+    banded adaptive-range search (:mod:`pcmi_tpu.ops.stereo.banded`).
+
+    ``shifts`` is int32, either (H,) — one contiguous slice per row, no
+    gathers — or (H, W) — a per-pixel horizontal gather (one pass; paid
+    once per pair, not per disparity). Matches the matcher's shift
+    convention (``r_shift(x) = right(x - d)`` via slice start
+    ``pad - d``), so matching left against ``shift_rows(right, o)`` at
+    local disparity ``dl`` compares against ``right(x - (o + dl))`` —
+    global ``d = o + dl``.
+    """
+    h, w = img.shape
+    padded = jnp.pad(img, ((0, 0), (pad, pad)), constant_values=fill)
+    if shifts.ndim == 1:
+        def take(row, s):
+            return jax.lax.dynamic_slice_in_dim(row, pad - s, w)
+
+        return jax.vmap(take)(padded, shifts)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + pad - shifts
+    return jnp.take_along_axis(padded, idx, axis=1)
+
+
 def _shift_pack(right, valid_r, census_r, max_disp):
     """Pre-pad right-image planes so any signed shift is a dynamic slice
     (no gathers in the scan body). The signed search spans
@@ -120,12 +143,29 @@ def build_cost_volume(
     valid_l: jnp.ndarray,
     valid_r: jnp.ndarray,
     cfg: StereoConfig,
+    row_shift: jnp.ndarray | None = None,
+    row_shift_pad: int = 0,
 ) -> jnp.ndarray:
-    """(D, H, W) float32 aggregated matching cost via scan over disparities."""
+    """(D, H, W) float32 aggregated matching cost via scan over disparities.
+
+    ``row_shift`` (the banded adaptive-range path) searches global
+    disparity ``row_shift[y] + d`` at volume slice d: census planes are
+    computed on the UNWARPED right view and shifted afterwards, so the
+    per-pixel cost is bit-exactly the full-search cost at the composed
+    disparity — a naive pre-warp would shear the right image's vertical
+    structure and corrupt every census descriptor near row-offset ramps.
+    ``row_shift_pad`` must bound ``max |row_shift|`` (static).
+    """
     h, w = left.shape
     n_census = cfg.census_window**2 - 1
     census_l = census_transform(left, cfg.census_window)
     census_r = census_transform(right, cfg.census_window)
+    if row_shift is not None:
+        sp = row_shift_pad
+        right = shift_rows(right, row_shift, sp, 0.0)
+        valid_r = shift_rows(valid_r, row_shift, sp, False)
+        census_r = (shift_rows(census_r[0], row_shift, sp, jnp.uint32(0)),
+                    shift_rows(census_r[1], row_shift, sp, jnp.uint32(0)))
     rp, vp, c0p, c1p, pad = _shift_pack(right, valid_r, census_r, cfg.max_disp)
 
     def step(_, d):
@@ -348,7 +388,7 @@ def derive_right_volume(vol: jnp.ndarray, d_min: int,
     return out
 
 
-@partial(jax.jit, static_argnames=("cfg", "aggregation"))
+@partial(jax.jit, static_argnames=("cfg", "aggregation", "row_shift_pad"))
 def compute_disparity(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -357,6 +397,8 @@ def compute_disparity(
     cfg: StereoConfig = StereoConfig(),
     aggregation: str = "sgm",
     noise_ratio: jnp.ndarray | None = None,
+    row_shift: jnp.ndarray | None = None,
+    row_shift_pad: int = 0,
 ) -> DisparityResult:
     """Full two-direction dense matcher.
 
@@ -374,7 +416,9 @@ def compute_disparity(
     right = right.astype(jnp.float32)
 
     stride = cfg.disp_stride
-    vol_l = build_cost_volume(left, right, valid_l, valid_r, cfg)
+    vol_l = build_cost_volume(left, right, valid_l, valid_r, cfg,
+                              row_shift=row_shift,
+                              row_shift_pad=row_shift_pad)
     if aggregation == "sgm":
         agg_l = sgm_aggregate(vol_l, cfg)
         if cfg.right_sgm == "derived":
@@ -424,7 +468,9 @@ def compute_disparity(
             cr = (1.0 - t) * right + t * gaussian_filter(right, sigma=1.0)
         cfg_s = _dc.replace(cfg, block_size=cfg.band_check_block,
                             census_window=cfg.band_check_census)
-        vol_s = build_cost_volume(cl, cr, valid_l, valid_r, cfg_s)
+        vol_s = build_cost_volume(cl, cr, valid_l, valid_r, cfg_s,
+                                  row_shift=row_shift,
+                                  row_shift_pad=row_shift_pad)
         check, _ = wta_disparity(vol_s, cfg.min_disparity, stride=stride)
 
     return DisparityResult(

@@ -166,20 +166,37 @@ def pair_core(
 
         noise_ratio = snr_ratio(n1, mask1)
 
-    if cfg.hierarchical:
+    if cfg.adapt_band_rows > 0:
+        # per-row-band adaptive range: coarse pass -> per-row warp ->
+        # narrow full-res search; disparities come back in GLOBAL
+        # coordinates and photo is computed in the (equivalent) warped
+        # frame — see ops.stereo.banded
+        from pcmi_tpu.ops.stereo.banded import banded_disparity
+
+        res0, res, photo, _ = banded_disparity(
+            n1, n2, v1, v2, cfg, noise_ratio=noise_ratio)
+    elif cfg.hierarchical:
         from pcmi_tpu.ops.stereo.hierarchical import compute_disparity_hierarchical
 
         res0 = compute_disparity_hierarchical(
             n1, n2, v1, v2, cfg, local_disp=cfg.hierarchical_local_disp)
+        res = refine_disparity(res0, n1, cfg)
+        photo = photoconsistency(
+            n1, n2, res.disparity,
+            d_min=cfg.min_disparity,
+            d_max=cfg.min_disparity + cfg.max_disp - 1,
+            stride=cfg.disp_stride,
+        )
     else:
         res0 = compute_disparity(n1, n2, v1, v2, cfg, aggregation="sgm",
                                  noise_ratio=noise_ratio)
-    res = refine_disparity(res0, n1, cfg)
-    photo = photoconsistency(
-        n1, n2, res.disparity,
-        d_min=cfg.min_disparity, d_max=cfg.min_disparity + cfg.max_disp - 1,
-        stride=cfg.disp_stride,
-    )
+        res = refine_disparity(res0, n1, cfg)
+        photo = photoconsistency(
+            n1, n2, res.disparity,
+            d_min=cfg.min_disparity,
+            d_max=cfg.min_disparity + cfg.max_disp - 1,
+            stride=cfg.disp_stride,
+        )
 
     # Blunder gates: matching errors concentrate in foreground-fattening /
     # occlusion bands around disparity discontinuities (the failure mode the

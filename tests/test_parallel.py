@@ -127,3 +127,32 @@ def test_batched_pair_step_compiles_and_runs(stereo_stack):
     hn = np.asarray(height)
     vn = np.asarray(valid)
     assert np.isnan(hn[~vn]).all()
+
+
+def test_batched_pair_step_banded_under_gspmd(stereo_stack):
+    """The tile-adaptive banded matcher (coarse pass + per-pixel warp +
+    narrow search) must compile and run under the dp x sp GSPMD sharding
+    AND match its own single-device output."""
+    import dataclasses
+
+    from pcmi_tpu.pipelines.height_map import pair_core
+
+    lefts, rights, cfg = stereo_stack
+    b, h, w = lefts.shape
+    cfg_b = dataclasses.replace(cfg, adapt_band_rows=32, adapt_band_cols=32,
+                                adapt_local_disp=16)
+    mesh = make_mesh(data=2, tile=4)
+    step = batched_pair_step(mesh, cfg_b)
+    rects = jnp.stack([jnp.asarray(lefts), jnp.asarray(rights)], axis=1)
+    tri_M = jnp.tile(jnp.eye(3, 4)[None], (b, 1, 1))
+    tri_b = jnp.zeros((b, 4))
+    disp, valid, height = step(rects, tri_M, tri_b)
+    assert disp.shape == (b, h, w)
+    assert np.isfinite(np.asarray(disp)).all()
+    # sharded vs single-device parity (same static cfg, same inputs)
+    ref = pair_core(jnp.asarray(lefts[0]), jnp.asarray(rights[0]),
+                    tri_M[0], tri_b[0], cfg_b)
+    both = np.asarray(valid[0]) & np.asarray(ref.valid)
+    delta = np.abs(np.asarray(disp[0]) - np.asarray(ref.disparity))[both]
+    assert both.mean() > 0.2
+    assert np.quantile(delta, 0.99) < 0.51, np.quantile(delta, 0.99)
