@@ -78,7 +78,101 @@ def _probe_backend(timeout_s: float = None, retries: int = None) -> str:
                        f"attempts: {last}")
 
 
+# --- Pinned CPU-reference denominator (VERDICT r3 item 4) ---
+# The ≥20x north-star ratio needs a FIXED denominator, not one re-measured
+# on a possibly-loaded shared rig every round (it drifted 0.145 → 0.021
+# Mpix/s across rounds 1-3 while the CPU code path changed only once).
+# Method, reproducible with `python bench.py --cpu-pin`:
+#   * workload: pcmi_tpu.ops.stereo.numpy_ref.stereo_pipeline_np (the
+#     BASELINE.json config-1 CPU parity path) on the FIXED 192x192 crop
+#     [0:192, 0:192] of the bench scene's rectified pair (synthetic scene
+#     seed=1, 512x512 canvas — fully deterministic), max_disp=80, block 9,
+#     SGM aggregation — the same per-Mpix work as the TPU path.
+#   * timing: median of 9 single-threaded reps after 1 warm-up, taken as
+#     the best median of two such batches — robust to transient rig load.
+#   * pinned on 2026-08-18 on this rig (quiet, two runs 0.0424/0.0428
+#     within ±1%): 0.0426 Mpix/s. Earlier rounds' lower numbers (0.021)
+#     were best-of-3 on a loaded rig; the pin supersedes them.
+# ``vs_baseline`` divides by THIS constant; the freshly measured value is
+# reported alongside in ``detail.cpu_ref_mpix_s_measured`` so drift stays
+# visible without moving the scoreboard.
+PINNED_CPU_MPIX_S = 0.0426
+
+
+def _measure_cpu_ref(l_np, r_np, v_np, max_disp, block_size, lr_threshold,
+                     reps: int = 9):
+    """Median-of-reps CPU reference throughput (Mpix/s) on a fixed crop."""
+    from pcmi_tpu.ops.stereo import numpy_ref as nref
+
+    ch, cw = l_np.shape
+    times = []
+    for i in range(reps + 1):
+        t0 = time.perf_counter()
+        nref.stereo_pipeline_np(l_np, r_np, v_np, v_np, max_disp,
+                                block_size, lr_threshold, aggregation="sgm")
+        times.append(time.perf_counter() - t0)
+    times = sorted(times[1:])  # drop the warm-up rep
+    dt = times[len(times) // 2]
+    return ch * cw / dt / 1e6
+
+
+def _cpu_pin_workload():
+    """The frozen CPU-pin inputs: crop + config (see PINNED_CPU_MPIX_S)."""
+    import jax.numpy as jnp
+
+    from pcmi_tpu.config import PipelineConfig, RectifyConfig, StereoConfig
+    from pcmi_tpu.geometry.synthetic import aoi_lonlat_ranges, make_stereo_scene
+    from pcmi_tpu.pipelines.height_map import HeightMapPipeline, _rectify_pair
+
+    scene = make_stereo_scene(
+        seed=1, out_shape=(512, 512), ground_shape=(640, 640),
+        h_range=(0.0, 40.0), views=((10.0, 80.0), (20.0, 250.0)),
+    )
+    cfg = PipelineConfig(
+        stereo=StereoConfig(block_size=9, census_window=5, margin_undefined=8),
+        rectify=RectifyConfig(height_range=(0.0, 40.0)),
+    )
+    pipe = HeightMapPipeline(cfg)
+    geom = pipe.build_geometry(
+        scene.rpcs[0], scene.rpcs[1], *aoi_lonlat_ranges(scene),
+        scene.images[0].shape, scene.images[1].shape,
+    )
+    stereo_cfg = pipe.stereo_cfg_for([geom])
+    r1, r2 = _rectify_pair(
+        scene.images[0], scene.images[1],
+        jnp.asarray(geom.H1, jnp.float32), jnp.asarray(geom.H2, jnp.float32),
+        geom.out_shape,
+    )
+    ch, cw = 192, 192
+    l_np = np.asarray(r1)[:ch, :cw]
+    r_np = np.asarray(r2)[:ch, :cw]
+    v_np = np.ones((ch, cw), bool)
+    return l_np, r_np, v_np, stereo_cfg
+
+
+def cpu_pin():
+    """Re-measure the pinned CPU denominator (two median-of-9 batches)."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    l_np, r_np, v_np, scfg = _cpu_pin_workload()
+    vals = [
+        _measure_cpu_ref(l_np, r_np, v_np, scfg.max_disp, scfg.block_size,
+                         scfg.lr_threshold)
+        for _ in range(2)
+    ]
+    print(json.dumps({
+        "cpu_pin_mpix_s_batches": [round(v, 4) for v in vals],
+        "cpu_pin_mpix_s": round(max(vals), 4),
+        "pinned_constant": PINNED_CPU_MPIX_S,
+        "max_disp": scfg.max_disp,
+    }))
+
+
 def main():
+    if "--cpu-pin" in sys.argv:
+        cpu_pin()
+        return
     try:
         device_str = _probe_backend()
     except RuntimeError as e:
@@ -95,7 +189,6 @@ def _run_bench(device_str: str):
 
     from pcmi_tpu.config import PipelineConfig, RectifyConfig, StereoConfig
     from pcmi_tpu.geometry.synthetic import aoi_lonlat_ranges, make_stereo_scene
-    from pcmi_tpu.ops.stereo import numpy_ref as nref
     from pcmi_tpu.pipelines.height_map import HeightMapPipeline, pair_core
     from pcmi_tpu.geometry.rectify import triangulation_operator
 
@@ -138,22 +231,18 @@ def _run_bench(device_str: str):
     h, w = geom.out_shape
     mpix_tpu = h * w / dt / 1e6
 
-    # --- CPU NumPy reference on a crop, same disparity width AND the same
-    # SGM regularisation work as the TPU path (like-for-like per-Mpix) ---
+    # --- CPU NumPy reference: the same frozen workload as the pinned
+    # denominator (crop [0:192,0:192] of THIS scene's rectified pair, same
+    # disparity width + SGM work). The ratio uses PINNED_CPU_MPIX_S; the
+    # fresh measurement is reported for drift visibility only.
     ch, cw = 192, 192
     l_np = np.asarray(r1)[:ch, :cw]
     r_np = np.asarray(r2)[:ch, :cw]
     v_np = np.ones((ch, cw), bool)
-    dt_cpu = float("inf")
-    for _ in range(3):  # best-of-3: host load noise must not skew the ratio
-        t0 = time.perf_counter()
-        nref.stereo_pipeline_np(
-            l_np, r_np, v_np, v_np,
-            stereo_cfg.max_disp, stereo_cfg.block_size, stereo_cfg.lr_threshold,
-            aggregation="sgm",
-        )
-        dt_cpu = min(dt_cpu, time.perf_counter() - t0)
-    mpix_cpu = ch * cw / dt_cpu / 1e6
+    mpix_cpu_measured = _measure_cpu_ref(
+        l_np, r_np, v_np, stereo_cfg.max_disp, stereo_cfg.block_size,
+        stereo_cfg.lr_threshold, reps=5)
+    mpix_cpu = PINNED_CPU_MPIX_S
 
     # accuracy vs exact synthetic truth (the BASELINE ≤1 m RMSE gate) —
     # computed from the timing executable's final product (no extra compile)
@@ -169,6 +258,10 @@ def _run_bench(device_str: str):
     m = valid & inb
     err = np.asarray(p_height)[m] - tt[m]
     rmse = float(np.sqrt(np.mean(err**2))) if m.any() else float("nan")
+
+    # --- Per-stage roofline accounting on the flagship workload ---
+    stages = _bench_stages(r1, r2, stereo_cfg)
+    stages["core_ms"] = round(dt * 1e3, 2)
 
     # --- Reference disparity envelope: MAX_DISP=288 (ref constants.py:54-57)
     # A steep-convergence fine-GSD scene whose geometry genuinely needs the
@@ -199,6 +292,8 @@ def _run_bench(device_str: str):
             "canvas": [h, w],
             "max_disp": stereo_cfg.max_disp,
             "cpu_ref_mpix_s": round(mpix_cpu, 4),
+            "cpu_ref_mpix_s_measured": round(mpix_cpu_measured, 4),
+            "cpu_ref_pinned": True,
             "height_rmse_m": round(rmse, 3),
             "valid_fraction": round(valid_fraction, 4),
             "canvas_valid_fraction": round(float(valid.mean()), 4),
@@ -207,6 +302,7 @@ def _run_bench(device_str: str):
                 "rmse_le_1m": bool(rmse <= 1.0),
                 "valid_fraction_ge_0.5": bool(valid_fraction >= 0.5),
             },
+            "stages": stages,
             "d288": d288,
             "fusion": fusion,
             "families": families,
@@ -258,6 +354,156 @@ def _device_time_per_frame(core, r1, r2, M, b, stereo_cfg, k=10):
         float(acc)
         best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
     return best / k, prod
+
+
+# v5e (TPU v5 lite) per-chip ceilings for the roofline estimates below:
+# HBM bandwidth 819 GB/s (datasheet); VPU f32 throughput estimated as
+# (8, 128) vector lanes x 4 ALUs x ~0.94 GHz ≈ 3.85e12 op/s. The matcher
+# is VPU/HBM work by design (no MXU-shaped matmuls in the hot loop), so
+# the MXU's 197 bf16 TFLOP/s is not the relevant ceiling.
+PEAK_HBM_B_S = 819e9
+PEAK_VPU_OP_S = 3.85e12
+
+
+def _bench_stages(r1, r2, cfg, k: int = 6):
+    """Per-stage device times + roofline utilization for the pair core.
+
+    VERDICT r3 item 7: makes "SGM is at its floor" falsifiable. Each stage
+    is timed as its own jitted k-rep scan (same fetch-RTT discipline as
+    the end-to-end number); ``bytes``/``ops`` are ESTIMATES from the
+    explicit traffic models in the code below (volume passes dominate, so
+    the models count volume-sized reads/writes and per-element arithmetic;
+    fixed per-pixel terms are ignored). ``bw_util``/``alu_util`` divide
+    achieved rates by the chip ceilings above; ``bound`` names the larger.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pcmi_tpu.ops.morphology import binary_dilation
+    from pcmi_tpu.ops.normalize import normalise_image
+    from pcmi_tpu.ops.stereo.matching import (
+        build_cost_volume,
+        derive_right_volume,
+        lr_consistency,
+        refine_disparity,
+        sgm_aggregate,
+        wta_disparity,
+        DisparityResult,
+    )
+    from pcmi_tpu.pipelines.height_map import photoconsistency
+
+    mask1 = r1 >= 0
+    mask2 = r2 >= 0
+    n1, _ = normalise_image(r1, mask1, subsample=cfg.norm_subsample)
+    n2, _ = normalise_image(r2, mask2, subsample=cfg.norm_subsample)
+    v1 = mask1 & ~binary_dilation(~mask1, iterations=cfg.margin_undefined)
+    v2 = mask2 & ~binary_dilation(~mask2, iterations=cfg.margin_undefined)
+    h, w = n1.shape
+    stride = cfg.disp_stride
+    D = cfg.max_disp // stride          # volume slices actually built
+    P = h * w
+    bpe = 2 if jax.default_backend() == "tpu" else 4  # stored volume dtype
+
+    # precomputed stage inputs (once, not timed)
+    vol = jax.jit(lambda: build_cost_volume(n1, n2, v1, v2, cfg))()
+    agg = jax.jit(lambda: sgm_aggregate(vol, cfg))()
+    disp_l, cost_l, margin = jax.jit(
+        lambda: wta_disparity(agg, cfg.min_disparity, with_margin=True,
+                              stride=stride))()
+    agg_r = jax.jit(lambda: sgm_aggregate(
+        derive_right_volume(vol, cfg.min_disparity, stride=stride),
+        cfg, dirs="h"))()
+    disp_r, _ = jax.jit(
+        lambda: wta_disparity(agg_r, cfg.min_disparity, subpixel=False,
+                              stride=stride))()
+    res = DisparityResult(disparity=disp_l, valid=v1, cost=cost_l,
+                          disparity_right=disp_r, margin=margin,
+                          check_disparity=None)
+    jax.block_until_ready((agg, disp_r))
+
+    # (label, fn(eps)->reducible, est bytes, est ops) — traffic models:
+    dmax = cfg.min_disparity + cfg.max_disp - 1
+    stages = [
+        # per (d, px): read right/valid/census slices + left planes ~21 B,
+        # separable box ~2 f32 passes ~16 B, volume write bpe; ops: census
+        # hamming+mix ~17 + box 2*block adds
+        ("cost_volume",
+         lambda e: build_cost_volume(n1 + e, n2, v1, v2, cfg),
+         D * P * (37 + bpe), D * P * (2 * cfg.block_size + 17)),
+        # 4 directional passes (read+write bpe each) + final 4-way sum;
+        # ops: ~8/elem/direction recurrence + 3 adds for the sum
+        ("sgm",
+         lambda e: sgm_aggregate(vol + e.astype(vol.dtype), cfg),
+         D * P * (4 * 2 * bpe + 5 * bpe), D * P * 35),
+        # fused single-pass WTA (read bpe; margin+parabola in-register)
+        ("wta",
+         lambda e: wta_disparity(agg + e.astype(agg.dtype),
+                                 cfg.min_disparity, with_margin=True,
+                                 stride=stride)[0],
+         D * P * bpe, D * P * 8),
+        # derive (read+write) + 2-path SGM + integer WTA on the right view
+        ("right_view",
+         lambda e: wta_disparity(
+             sgm_aggregate(derive_right_volume(
+                 vol + e.astype(vol.dtype), cfg.min_disparity,
+                 fill=1e4, stride=stride), cfg, dirs="h"),
+             cfg.min_disparity, subpixel=False, stride=stride)[0],
+         D * P * (2 * bpe + 2 * 2 * bpe + 3 * bpe + bpe), D * P * 25),
+        # L/R check: D/stride passes of read-slice + masked accumulate
+        ("lr_check",
+         lambda e: lr_consistency(disp_l + e, disp_r, cfg.lr_threshold_eff,
+                                  cfg.min_disparity, dmax, stride=stride),
+         (cfg.max_disp // stride) * P * 12, (cfg.max_disp // stride) * P * 6),
+        # guided-filter refinement (D-independent) + photoconsistency
+        # (D/stride elementwise passes)
+        ("refine_photo",
+         lambda e: photoconsistency(
+             n1, n2, refine_disparity(
+                 res._replace(disparity=res.disparity + e), n1,
+                 cfg).disparity,
+             d_min=cfg.min_disparity, d_max=dmax, stride=stride),
+         (cfg.max_disp // stride) * P * 12 + 60 * P * 4,
+         (cfg.max_disp // stride) * P * 8 + 60 * P * 4),
+    ]
+
+    probe = jax.jit(lambda: jnp.float32(1.0))
+    float(probe())
+    t0 = time.perf_counter()
+    float(probe())
+    rtt = time.perf_counter() - t0
+
+    out = {}
+    total_ms = 0.0
+    for label, fn, est_bytes, est_ops in stages:
+        @jax.jit
+        def rep():
+            def body(c, _):
+                o = fn(c * jnp.float32(1e-20))
+                leaves = jax.tree_util.tree_leaves(o)
+                s = sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+                return c + s, None
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+            return c
+
+        float(rep())  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(rep())
+            best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
+        dt = best / k
+        bw = est_bytes / dt / PEAK_HBM_B_S
+        alu = est_ops / dt / PEAK_VPU_OP_S
+        total_ms += dt * 1e3
+        out[label] = {
+            "ms": round(dt * 1e3, 3),
+            "est_gb": round(est_bytes / 1e9, 3),
+            "bw_util": round(bw, 3),
+            "alu_util": round(alu, 3),
+            "bound": "hbm" if bw >= alu else "vpu",
+        }
+    out["stages_sum_ms"] = round(total_ms, 2)
+    return out
 
 
 def _bench_fusion(n_points: int = 1 << 22, k_rep: int = 8):
@@ -323,6 +569,10 @@ def _bench_families():
     family plus per-family completeness floors (lowtex is a per-pixel
     SNR ~ 1 scene where the noise-adaptive gates trade coverage for
     accuracy — see tests/test_scene_families.py).
+
+    Runs with ``disp_stride=2`` — the PRODUCTION fast path the D=288
+    envelope ships with (VERDICT r3 item 3: the fast path must be
+    family-swept, not one-scene-validated).
     """
     from pcmi_tpu.config import PipelineConfig, RectifyConfig, StereoConfig
     from pcmi_tpu.geometry.synthetic import SCENE_FAMILIES, make_family_scene
@@ -331,7 +581,7 @@ def _bench_families():
     h_range = (0.0, 40.0)
     cfg = PipelineConfig(
         stereo=StereoConfig(block_size=9, census_window=5,
-                            margin_undefined=8),
+                            margin_undefined=8, disp_stride=2),
         rectify=RectifyConfig(height_range=h_range),
     )
     floors = {"lowtex": 0.02, "noisy": 0.45}
@@ -352,27 +602,71 @@ def _bench_families():
 
 
 def _bench_d288():
-    """Flagship core at the reference's full MAX_DISP=288 search envelope."""
+    """Flagship at the reference's full MAX_DISP=288 search envelope.
+
+    Three operating points, reflecting the round-4 study of this scene:
+
+    * ``strict`` — the production single-pair default (disp_stride=2,
+      strict blunder gates): the TIMED headline, RMSE ≤ 1 m.
+    * ``dense`` — the vertical-support cross-checker recovery
+      (``band_check_mode="vertical"``): +7-8 points of completeness per
+      pair, at the cost of admitting ~1.5% two-view PHANTOM matches
+      (both views agree on a wrong correspondence over quasi-periodic
+      texture — measured unidentifiable from any single-pair evidence:
+      they pass strict L/R both ways, photoconsistency, every margin
+      gate and two independent checkers).
+    * ``fused`` — 10 dense pairs from 5 views, cross-pair-median DSM at
+      min_pairs=2: different acquisition geometries decorrelate the
+      phantoms, so the median kills them. This is the production answer
+      to the completeness-vs-accuracy frontier (and the capability the
+      reference advertises: multi-day reconstruction, ``README.md:17``).
+      Gate: completeness ≥ 0.65 AND RMSE ≤ 1 m on cell-centre truth.
+    """
+    import itertools
+
     import jax
     import jax.numpy as jnp
 
     from pcmi_tpu.config import PipelineConfig, RectifyConfig, StereoConfig
     from pcmi_tpu.geometry.rectify import triangulation_operator
     from pcmi_tpu.geometry.synthetic import aoi_lonlat_ranges, make_stereo_scene
+    from pcmi_tpu.pipelines.evaluation import truth_on_grid
     from pcmi_tpu.pipelines.height_map import (
         HeightMapPipeline,
         _rectify_pair,
         pair_core,
     )
+    from pcmi_tpu.pipelines.streaming import (
+        StreamingDSM,
+        dsm_finalize_multi,
+        dsm_update,
+    )
 
     h_range = (0.0, 48.0)
     scene = make_stereo_scene(
         seed=3, out_shape=(896, 896), ground_shape=(768, 768), gsd=0.2,
-        h_range=h_range, views=((25.0, 80.0), (35.0, 250.0)),
+        h_range=h_range,
+        views=((25.0, 80.0), (35.0, 250.0), (30.0, 160.0),
+               (20.0, 20.0), (28.0, 305.0)),
         terrain_kwargs=dict(terrain_fraction=0.6, building_size_px=(50, 125),
                             building_h_m=(8.0, 18.0)),
     )
-    cfg = PipelineConfig(
+    terr = np.asarray(scene.terrain)
+    ox, oy = scene.ground_origin
+
+    def pair_accuracy(prod):
+        valid = np.asarray(prod.valid)
+        truth, inb = truth_on_grid(scene, prod.xyz)
+        m = valid & inb
+        err = np.asarray(prod.height)[m] - truth[m]
+        rmse = float(np.sqrt(np.mean(err**2))) if m.any() else float("nan")
+        observable = ((np.asarray(prod.rect_left) >= 0)
+                      & (np.asarray(prod.rect_right) >= 0))
+        return rmse, float(valid.sum() / max(observable.sum(), 1))
+
+    out = {}
+    # --- strict: timed single-pair headline (first stereo pair) ---
+    cfg_s = PipelineConfig(
         stereo=StereoConfig(block_size=9, census_window=5, margin_undefined=8,
                             # coarse-stride search: every 2nd disparity at
                             # full resolution — measured RMSE cost 0.01 m
@@ -380,7 +674,7 @@ def _bench_d288():
                             disp_stride=2),
         rectify=RectifyConfig(height_range=h_range),
     )
-    pipe = HeightMapPipeline(cfg)
+    pipe = HeightMapPipeline(cfg_s)
     geom = pipe.build_geometry(
         scene.rpcs[0], scene.rpcs[1], *aoi_lonlat_ranges(scene),
         scene.images[0].shape, scene.images[1].shape,
@@ -392,36 +686,86 @@ def _bench_d288():
         geom.out_shape,
     )
     M, b = triangulation_operator(geom)
-
     dt, prod = _device_time_per_frame(pair_core, r1, r2, M, b, stereo_cfg,
                                       k=5)
     h, w = geom.out_shape
-
-    p_height, p_xyz, p_valid = prod
-    valid = np.asarray(p_valid)
-    ox, oy = scene.ground_origin
-    terr = np.asarray(scene.terrain)
-    gx = (np.asarray(p_xyz[..., 0]) - ox) / scene.ground_gsd
-    gy = (np.asarray(p_xyz[..., 1]) - oy) / scene.ground_gsd
-    inb = (gx >= 0) & (gx < terr.shape[1] - 1) & (gy >= 0) & (gy < terr.shape[0] - 1)
-    tt = terr[np.clip(gy.astype(int), 0, terr.shape[0] - 1),
-              np.clip(gx.astype(int), 0, terr.shape[1] - 1)]
-    m = valid & inb
-    err = np.asarray(p_height)[m] - tt[m]
-    rmse = float(np.sqrt(np.mean(err**2))) if m.any() else float("nan")
-    observable = (np.asarray(r1) >= 0) & (np.asarray(r2) >= 0)
-    vf = float(valid.sum() / max(observable.sum(), 1))
-    return {
+    from pcmi_tpu.pipelines.height_map import PairProduct
+    prod_t = PairProduct(disparity=None, valid=prod[2], photo=None,
+                         xyz=prod[1], height=prod[0], rel_height=None,
+                         rect_left=r1, rect_right=r2)
+    rmse_s, vf_s = pair_accuracy(prod_t)
+    out["strict"] = {
         "canvas": [h, w],
         "max_disp": stereo_cfg.max_disp,
         "mpix_s": round(h * w / dt / 1e6, 3),
-        "height_rmse_m": round(rmse, 3),
-        "valid_fraction": round(vf, 4),
-        "gates": {
-            "rmse_le_1m": bool(rmse <= 1.0),
-            "valid_fraction_ge_0.5": bool(vf >= 0.5),
-        },
+        "height_rmse_m": round(rmse_s, 3),
+        "valid_fraction": round(vf_s, 4),
     }
+
+    # --- dense + fused: 10 pairs, cross-pair median DSM ---
+    cfg_d = cfg_s.replace(stereo=dataclasses_replace(
+        cfg_s.stereo, band_check_mode="vertical"))
+    pipe_d = HeightMapPipeline(cfg_d)
+    pairs = list(itertools.combinations(range(5), 2))
+    geoms = [pipe_d.build_geometry(
+        scene.rpcs[i], scene.rpcs[j], *aoi_lonlat_ranges(scene),
+        scene.images[i].shape, scene.images[j].shape) for i, j in pairs]
+    scfg_d = pipe_d.stereo_cfg_for(geoms)
+    cell = 0.6
+    hg, wg = terr.shape
+    ny = int(hg * scene.ground_gsd / cell)
+    nx = int(wg * scene.ground_gsd / cell)
+    accs = []
+    dense_stats = []
+    for (i, j), g in zip(pairs, geoms):
+        p = pipe_d.process_pair(scene.images[i], scene.images[j], g, scfg_d,
+                                with_plane=False)
+        dense_stats.append(pair_accuracy(p))
+        xyz = np.asarray(p.xyz).reshape(-1, 3)
+        wgt = np.asarray(p.valid).reshape(-1).astype(np.float32)
+        acc = StreamingDSM(wsum=jnp.zeros((ny, nx)), vsum=jnp.zeros((ny, nx)),
+                           vsq=jnp.zeros((ny, nx)))
+        accs.append(dsm_update(acc, jnp.asarray(xyz[:, :2]),
+                               jnp.asarray(xyz[:, 2]), jnp.asarray(wgt),
+                               (ox, oy), cell, (ny, nx), robust_sigma=3.0))
+    out["dense"] = {
+        "pairs": len(pairs),
+        "mean_rmse_m": round(float(np.mean([r for r, _ in dense_stats])), 3),
+        "mean_completeness": round(
+            float(np.mean([c for _, c in dense_stats])), 4),
+    }
+    dsm, _cnt, _np_ = dsm_finalize_multi(accs, min_pairs=3)
+    gxc = (np.arange(nx) + 0.5) * cell / scene.ground_gsd
+    gyc = (np.arange(ny) + 0.5) * cell / scene.ground_gsd
+    gxm, gym = np.meshgrid(gxc, gyc)
+    inb = (gxm >= 0) & (gxm < wg - 1) & (gym >= 0) & (gym < hg - 1)
+    tt = terr[np.clip(gym.astype(int), 0, hg - 1),
+              np.clip(gxm.astype(int), 0, wg - 1)]
+    filled = np.isfinite(dsm) & inb
+    err = dsm[filled] - tt[filled]
+    rmse_f = float(np.sqrt(np.mean(err**2))) if filled.any() else float("nan")
+    comp_f = float(filled.sum() / max(inb.sum(), 1))
+    out["fused"] = {
+        "min_pairs": 3,
+        "grid_cell_m": cell,
+        "completeness": round(comp_f, 4),
+        "rmse_m": round(rmse_f, 3),
+        "tail_gt2m": round(float((np.abs(err) > 2).mean()), 4)
+        if filled.any() else None,
+    }
+    out["gates"] = {
+        "strict_rmse_le_1m": bool(rmse_s <= 1.0),
+        "strict_valid_fraction_ge_0.5": bool(vf_s >= 0.5),
+        "fused_completeness_ge_0.65": bool(comp_f >= 0.65),
+        "fused_rmse_le_1m": bool(rmse_f <= 1.0),
+    }
+    return out
+
+
+def dataclasses_replace(obj, **kw):
+    import dataclasses
+
+    return dataclasses.replace(obj, **kw)
 
 
 if __name__ == "__main__":

@@ -128,6 +128,22 @@ class StereoConfig:
     band_agree_threshold: float = 0.5   # max |disp - cross-check| in px
     band_margin_threshold: float = 0.12 # min (2nd best - best) aggregated cost
     band_photo_factor: float = 0.6   # photo bound = factor * photo_threshold
+    # Cross-checker mode: "census" (small square window, no SGM — maximal
+    # independence, but uninformative at wide search widths) or
+    # "vertical" (census 3 + band_check_vbox-row vertical box + 2-path
+    # vertical SGM — ~1 px horizontal fattening radius, informative at
+    # any width; the right checker for the MAX_DISP=288 regime).
+    band_check_mode: str = "census"
+    band_check_vbox: int = 9         # vertical aggregation rows ("vertical")
+    # Extra recovery evidence ("vertical" mode): the checker's own WTA
+    # uniqueness margin must exceed this. 0 disables.
+    band_check_margin: float = 0.0
+    # Exclude a thin strip ON the disparity-edge line from recovery:
+    # mixed (anti-aliased) pixels straddling a depth edge match
+    # consistently in both views yet triangulate to an intermediate
+    # height — evidence gates cannot catch them (measured: they pass
+    # photo/margin/cross-check). Radius in px; 0 disables.
+    band_core_excl: int = 0
     # Noise-adaptive recovery: a per-scene SNR proxy (Immerkaer noise
     # estimate over high-pass signal, both medians on the valid strided
     # grid) drives three continuous adaptations, all traced (no recompile):
@@ -167,6 +183,13 @@ class StereoConfig:
     adapt_band_cols: int = 64
     adapt_local_disp: int = 96       # local window width (multiple of 16)
     adapt_coarse_scale: int = 4      # coarse-pass downsample factor
+    # Warp granularity: the right view shifts by one offset per
+    # adapt_warp_chunk-px span (contiguous chunk slices — a per-pixel
+    # gather along lanes costs ~7 ms/Mpix-plane on TPU; measured on-chip:
+    # 64-px chunks ~2 ms, 32-px chunks pathological ~27 ms from lane-tile
+    # misalignment). Must divide the canvas width; canvases are padded to
+    # 128 (TilingConfig.pad_multiple).
+    adapt_warp_chunk: int = 64
 
     def __post_init__(self):
         object.__setattr__(self, "max_disp", _round_up(int(self.max_disp), 16))
@@ -213,6 +236,11 @@ class StereoConfig:
             if self.adapt_band_cols % self.adapt_coarse_scale:
                 raise ValueError(
                     "adapt_band_cols must be a multiple of adapt_coarse_scale")
+            if self.adapt_warp_chunk <= 0:
+                raise ValueError("adapt_warp_chunk must be positive")
+        if self.band_check_mode not in ("census", "vertical"):
+            raise ValueError(f"unknown band_check_mode "
+                             f"{self.band_check_mode!r}")
 
     @property
     def min_disparity(self) -> int:

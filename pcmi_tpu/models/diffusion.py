@@ -31,23 +31,75 @@ from flax import linen as nn
 from pcmi_tpu.models.unet import ConvBlock, _down, _up
 
 
+MAX_PROMPT_TOKENS = 8
+TOKEN_HASH_BUCKETS = 512
+
+
+def tokenize_prompt(prompt: str | None,
+                    max_tokens: int = MAX_PROMPT_TOKENS) -> np.ndarray:
+    """Hash-tokenise a free-text prompt into (max_tokens,) int32 ids.
+
+    Word tokens hash into ``TOKEN_HASH_BUCKETS - 1`` buckets (id 0 is the
+    pad/null token, so an empty prompt IS the unconditional embedding).
+    Hashing is FNV-1a over the lowercased word — stable across processes
+    (unlike Python's salted ``hash``), so checkpoints keep meaning.
+    """
+    ids = np.zeros((max_tokens,), np.int32)
+    if not prompt:
+        return ids
+    words = str(prompt).lower().split()
+    for i, wd in enumerate(words[:max_tokens]):
+        acc = 2166136261
+        for ch in wd.encode():
+            acc = ((acc ^ ch) * 16777619) & 0xFFFFFFFF
+        ids[i] = acc % (TOKEN_HASH_BUCKETS - 1) + 1
+    return ids
+
+
+class TextEncoder(nn.Module):
+    """Tiny trained-from-scratch prompt encoder: hashed word embeddings →
+    order-aware 1D conv mixing → masked mean-pool → conditioning vector.
+
+    The honest TPU-native analogue of the reference's CLIP text encoder
+    (``stan/plugin.py:156-170``): compositional (multi-word prompts
+    combine), graded (classifier-free guidance scales its influence), and
+    trained jointly with the epsilon model on caption-labelled scenes —
+    without pretrained weights, which this environment cannot download.
+    """
+
+    dim: int = 32
+
+    @nn.compact
+    def __call__(self, tokens):           # (B, L) int32, 0 = pad
+        emb = nn.Embed(TOKEN_HASH_BUCKETS, self.dim)(tokens)
+        mask = (tokens > 0)[..., None].astype(emb.dtype)
+        h = nn.Conv(self.dim, (3,))(emb * mask)
+        h = nn.gelu(h)
+        pooled = (h * mask).sum(1) / jnp.maximum(mask.sum(1), 1.0)
+        return nn.Dense(self.dim)(pooled)
+
+
 class CondUNet(nn.Module):
     """Small epsilon-model: input (B, T, T, C_img*2+1) = x_t ++ masked ++ mask,
     plus a sinusoidal timestep embedding added per level.
 
-    ``n_classes > 0`` adds a SEMANTIC conditioning channel: a learned class
-    embedding joins the timestep embedding — the framework's analogue of
-    the reference's text-prompt control surface (per-task prompts,
-    ``satdiff.py:24-55``; user prompt/negative-prompt,
-    ``stan/plugin.py:156-170``), with a fixed class vocabulary standing in
-    for the text encoder."""
+    Two semantic conditioning surfaces (the analogue of the reference's
+    text-prompt control, per-task prompts ``satdiff.py:24-55``, user
+    prompt/negative-prompt ``stan/plugin.py:156-170``):
+
+    * ``n_classes > 0`` — a learned class embedding (fixed vocabulary);
+    * ``text_conditioning`` — a jointly-trained :class:`TextEncoder` over
+      hashed free-text tokens (compositional multi-word prompts; all-pad
+      tokens = the unconditional branch for classifier-free guidance).
+    """
 
     widths: tuple = (32, 64, 128)
     out_channels: int = 3
     n_classes: int = 0
+    text_conditioning: bool = False
 
     @nn.compact
-    def __call__(self, x_t, t, cond, class_id=None):
+    def __call__(self, x_t, t, cond, class_id=None, tokens=None):
         # t: (B,) in [0, 1); sinusoidal features broadcast over space
         freqs = jnp.exp(jnp.linspace(0.0, 6.0, 16))
         temb = jnp.concatenate(
@@ -57,6 +109,10 @@ class CondUNet(nn.Module):
             cid = (jnp.zeros(t.shape, jnp.int32)
                    if class_id is None else class_id)
             temb = temb + nn.Embed(self.n_classes, 32)(cid)
+        if self.text_conditioning:
+            tok = (jnp.zeros((x_t.shape[0], MAX_PROMPT_TOKENS), jnp.int32)
+                   if tokens is None else tokens)
+            temb = temb + TextEncoder(dim=32)(tok)
         h = jnp.concatenate([x_t, cond], axis=-1)
         skips = []
         for wdt in self.widths[:-1]:
@@ -90,6 +146,16 @@ class DiffusionConfig:
     # CondUNet): names index the learned class embedding; prompts map to
     # the first vocabulary name they contain (class_for_prompt)
     class_names: tuple = ()
+    # Free-text conditioning via the jointly-trained TextEncoder over
+    # hashed prompt tokens (multi-word compositional prompts; the empty
+    # prompt is the unconditional branch). Supersedes class_names as the
+    # prompt surface; both may be active.
+    text_conditioning: bool = False
+    # Classifier-free guidance: probability of dropping the semantic
+    # conditioning during training (class -> 0, tokens -> pad), and the
+    # default guidance scale at sampling (1 = plain conditional).
+    cfg_dropout: float = 0.1
+    guidance: float = 1.0
 
 
 class Schedule(NamedTuple):
@@ -167,8 +233,11 @@ class TiledDiffusionEngine:
     def __init__(self, cfg: DiffusionConfig = DiffusionConfig(),
                  model: nn.Module | None = None):
         self.cfg = cfg
-        self.model = model or CondUNet(out_channels=cfg.img_channels,
-                                       n_classes=len(cfg.class_names))
+        self.model = model or CondUNet(
+            out_channels=cfg.img_channels,
+            n_classes=len(cfg.class_names),
+            text_conditioning=cfg.text_conditioning,
+        )
         self.schedule = make_schedule(cfg)
 
     def class_for_prompt(self, prompt) -> jnp.ndarray:
@@ -185,28 +254,50 @@ class TiledDiffusionEngine:
                     return jnp.asarray(k, jnp.int32)
         return jnp.asarray(0, jnp.int32)
 
+    def tokens_for_prompt(self, prompt) -> jnp.ndarray | None:
+        if not self.cfg.text_conditioning:
+            return None
+        return jnp.asarray(tokenize_prompt(prompt), jnp.int32)
+
     def init_params(self, key: jax.Array):
         c = self.cfg.img_channels
         cond_ch = c + 1 + (1 if self.cfg.edge_conditioning else 0)
         x = jnp.zeros((1, self.cfg.tile, self.cfg.tile, c))
         cond = jnp.zeros((1, self.cfg.tile, self.cfg.tile, cond_ch))
         cid = jnp.zeros((1,), jnp.int32) if self.cfg.class_names else None
-        return self.model.init(key, x, jnp.zeros((1,)), cond, cid)
+        tok = (jnp.zeros((1, MAX_PROMPT_TOKENS), jnp.int32)
+               if self.cfg.text_conditioning else None)
+        return self.model.init(key, x, jnp.zeros((1,)), cond, cid, tok)
 
     @partial(jax.jit, static_argnames=("self",))
-    def train_step_loss(self, params, images, masks, key, class_ids=None):
-        """Denoising score-matching loss for the conditioned eps-model."""
+    def train_step_loss(self, params, images, masks, key, class_ids=None,
+                        tokens=None):
+        """Denoising score-matching loss for the conditioned eps-model.
+
+        With ``cfg.cfg_dropout > 0`` the semantic conditioning (class id
+        and/or prompt tokens) is dropped per-sample to the unconditional
+        branch — the classifier-free-guidance training recipe (Ho &
+        Salimans 2022), matching the reference's guidance-scale surface
+        (``stan/plugin.py:156-170``).
+        """
         cfg = self.cfg
         b = images.shape[0]
-        kt, kn = jax.random.split(key)
+        kt, kn, kd = jax.random.split(key, 3)
         t_idx = jax.random.randint(kt, (b,), 0, cfg.train_timesteps)
         ab = self.schedule.alphas_bar[t_idx][:, None, None, None]
         noise = jax.random.normal(kn, images.shape)
         x_t = jnp.sqrt(ab) * images + jnp.sqrt(1 - ab) * noise
         cond = jax.vmap(lambda im, mk: _cond_stack(cfg, im, mk))(images, masks)
+        if cfg.cfg_dropout > 0 and (class_ids is not None or tokens is not None):
+            drop = jax.random.bernoulli(kd, cfg.cfg_dropout, (b,))
+            if class_ids is not None:
+                class_ids = jnp.where(drop, 0, class_ids)
+            if tokens is not None:
+                tokens = jnp.where(drop[:, None],
+                                   jnp.zeros_like(tokens), tokens)
         eps = self.model.apply(params, x_t,
                                t_idx.astype(jnp.float32) / cfg.train_timesteps,
-                               cond, class_ids)
+                               cond, class_ids, tokens)
         return jnp.mean((eps - noise) ** 2)
 
     def _tiler(self, canvas):
@@ -245,13 +336,59 @@ class TiledDiffusionEngine:
 
         return slice_tiles, blend_tiles
 
-    @partial(jax.jit, static_argnames=("self", "canvas"))
-    def _sample(self, params, image, mask, key, canvas, class_id=None):
+    def _eps_fn(self, params, slice_tiles, blend_tiles, cond_full,
+                class_id, tokens, neg_tokens, guidance: float):
+        """Blended epsilon over the tile grid, with classifier-free
+        guidance when ``guidance != 1``: conditional and unconditional
+        (or negative-prompt) tile batches run as ONE stacked model apply,
+        and ``eps = eps_u + g * (eps_c - eps_u)`` — a negative prompt
+        replaces the unconditional branch, the standard CFG surface
+        (ref prompt/negative_prompt/guidance, ``stan/plugin.py:156-170``).
+        ``guidance`` is static: at 1.0 the plain single-batch path traces.
+        """
+        cfg = self.cfg
+        has_sem = class_id is not None or tokens is not None
+        use_cfg = (guidance != 1.0 or neg_tokens is not None) and has_sem
+
+        def eps_of(x, t01):
+            tiles_x = slice_tiles(x)
+            tiles_c = slice_tiles(cond_full)
+            n = tiles_x.shape[0]
+            tvec = jnp.full((n,), t01)
+            cid = (None if class_id is None
+                   else jnp.full((n,), class_id, jnp.int32))
+            tok = None if tokens is None else jnp.tile(tokens[None], (n, 1))
+            if not use_cfg:
+                return blend_tiles(
+                    self.model.apply(params, tiles_x, tvec, tiles_c, cid, tok))
+            u_tok = None
+            if tokens is not None:
+                base = (jnp.zeros_like(tokens) if neg_tokens is None
+                        else neg_tokens)
+                u_tok = jnp.tile(base[None], (n, 1))
+            x2 = jnp.concatenate([tiles_x, tiles_x])
+            c2 = jnp.concatenate([tiles_c, tiles_c])
+            t2 = jnp.concatenate([tvec, tvec])
+            cid2 = (None if cid is None
+                    else jnp.concatenate([cid, jnp.zeros_like(cid)]))
+            tok2 = (None if tok is None
+                    else jnp.concatenate([tok, u_tok]))
+            out = self.model.apply(params, x2, t2, c2, cid2, tok2)
+            e_c, e_u = out[:n], out[n:]
+            return blend_tiles(e_u + guidance * (e_c - e_u))
+
+        return eps_of
+
+    @partial(jax.jit, static_argnames=("self", "canvas", "guidance"))
+    def _sample(self, params, image, mask, key, canvas, class_id=None,
+                tokens=None, neg_tokens=None, guidance: float = 1.0):
         """DDIM sampling with tiled eps evaluation + known-region locking."""
         cfg = self.cfg
         h, w = canvas
         slice_tiles, blend_tiles = self._tiler(canvas)
         cond_full = _cond_stack(cfg, image, mask)
+        eps_of = self._eps_fn(params, slice_tiles, blend_tiles, cond_full,
+                              class_id, tokens, neg_tokens, guidance)
         t_steps = jnp.linspace(cfg.train_timesteps - 1, 0, cfg.steps).astype(jnp.int32)
 
         k0, kloop = jax.random.split(key)
@@ -263,14 +400,7 @@ class TiledDiffusionEngine:
             ab_t = self.schedule.alphas_bar[t_cur]
             ab_n = jnp.where(t_next >= 0, self.schedule.alphas_bar[t_next], 1.0)
 
-            tiles_x = slice_tiles(x)
-            tiles_c = slice_tiles(cond_full)
-            tvec = jnp.full((tiles_x.shape[0],),
-                            t_cur.astype(jnp.float32) / cfg.train_timesteps)
-            cid = (None if class_id is None else
-                   jnp.full((tiles_x.shape[0],), class_id, jnp.int32))
-            eps_tiles = self.model.apply(params, tiles_x, tvec, tiles_c, cid)
-            eps = blend_tiles(eps_tiles)
+            eps = eps_of(x, t_cur.astype(jnp.float32) / cfg.train_timesteps)
 
             x0 = (x - jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(ab_t)
             x0 = jnp.clip(x0, -2.0, 2.0)
@@ -289,8 +419,9 @@ class TiledDiffusionEngine:
         (x, _), _ = jax.lax.scan(step, (x, kloop), pairs)
         return jnp.where(mask > 0.5, x, image)
 
-    @partial(jax.jit, static_argnames=("self", "canvas"))
-    def _sample_dpmpp(self, params, image, mask, key, canvas, class_id=None):
+    @partial(jax.jit, static_argnames=("self", "canvas", "guidance"))
+    def _sample_dpmpp(self, params, image, mask, key, canvas, class_id=None,
+                      tokens=None, neg_tokens=None, guidance: float = 1.0):
         """DPM-Solver++(2M) with Karras sigmas (the reference's scheduler,
         ``satdiff.py:97``), tiled eps evaluation + known-region locking.
 
@@ -302,6 +433,8 @@ class TiledDiffusionEngine:
         h, w = canvas
         slice_tiles, blend_tiles = self._tiler(canvas)
         cond_full = _cond_stack(cfg, image, mask)
+        eps_of = self._eps_fn(params, slice_tiles, blend_tiles, cond_full,
+                              class_id, tokens, neg_tokens, guidance)
         sigmas, t_idx = karras_sigmas(cfg, cfg.steps)
         ab = self.schedule.alphas_bar
 
@@ -309,14 +442,7 @@ class TiledDiffusionEngine:
             # exact VP view of the sigma-space state:
             # sqrt(ab)*(x0 + sigma*eps) = sqrt(ab)*x0 + sqrt(1-ab)*eps
             x_vp = x_sig * jnp.sqrt(ab[ti])
-            tiles_x = slice_tiles(x_vp)
-            tiles_c = slice_tiles(cond_full)
-            tvec = jnp.full((tiles_x.shape[0],),
-                            ti.astype(jnp.float32) / cfg.train_timesteps)
-            cid = (None if class_id is None else
-                   jnp.full((tiles_x.shape[0],), class_id, jnp.int32))
-            return blend_tiles(
-                self.model.apply(params, tiles_x, tvec, tiles_c, cid))
+            return eps_of(x_vp, ti.astype(jnp.float32) / cfg.train_timesteps)
 
         k0, kloop = jax.random.split(key)
         x = jax.random.normal(k0, (h, w, cfg.img_channels)) * sigmas[0]
@@ -356,14 +482,20 @@ class TiledDiffusionEngine:
 
     def inpaint(self, params, image: jnp.ndarray, mask: jnp.ndarray,
                 seed: int = 0, method: str = "dpmpp",
-                prompt=None) -> jnp.ndarray:
+                prompt=None, negative_prompt=None,
+                guidance: float | None = None) -> jnp.ndarray:
         """image (H, W, C) in [-1, 1]-ish range; mask (H, W, 1), 1 = hole.
 
         ``method``: ``"dpmpp"`` (DPM-Solver++ 2M, Karras sigmas — reference
         default) or ``"ddim"``. Canvases smaller than the tile are padded
         (edge) and cropped back — slicing would otherwise fail.
-        ``prompt``: class-vocabulary prompt or index (see
-        :meth:`class_for_prompt`); ignored without ``cfg.class_names``.
+
+        The prompt surface mirrors the reference widget
+        (``stan/plugin.py:156-170``): ``prompt`` conditions the fill
+        (free text with ``cfg.text_conditioning``, else class-vocabulary
+        lookup), ``negative_prompt`` steers away (CFG branch), and
+        ``guidance`` scales the conditioning (default ``cfg.guidance``;
+        1 = plain conditional sampling).
         """
         h, w = image.shape[:2]
         ph = max(self.cfg.tile - h, 0)
@@ -376,8 +508,13 @@ class TiledDiffusionEngine:
         fn = self._sample_dpmpp if method == "dpmpp" else self._sample
         cid = (self.class_for_prompt(prompt) if self.cfg.class_names
                else None)
+        tok = self.tokens_for_prompt(prompt)
+        ntok = (self.tokens_for_prompt(negative_prompt)
+                if negative_prompt and self.cfg.text_conditioning else None)
+        g = float(self.cfg.guidance if guidance is None else guidance)
         out = fn(params, img, msk, jax.random.PRNGKey(seed),
-                 canvas=img.shape[:2], class_id=cid)
+                 canvas=img.shape[:2], class_id=cid, tokens=tok,
+                 neg_tokens=ntok, guidance=g)
         return out[:h, :w]
 
     # ------------------------------------------------------------------

@@ -171,40 +171,78 @@ def field_offsets(
     width: int,
     o_min: float,
     o_max: float,
+    x_coords: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Bilinear interpolation of the (ty, tx) tile centers to a per-pixel
-    int32 offset field (separable jnp.interp; edge tiles extend flat)."""
+    """Bilinear interpolation of the (ty, tx) tile centers to an int32
+    offset field (separable jnp.interp; edge tiles extend flat).
+
+    ``x_coords`` overrides the column sample positions — the chunked warp
+    evaluates the field at chunk centres instead of every pixel, giving a
+    (H, n_chunks) grid.
+    """
     ty, tx = centers.shape
     yc = (jnp.arange(ty, dtype=jnp.float32) + 0.5) * tile_rows
     xc = (jnp.arange(tx, dtype=jnp.float32) + 0.5) * tile_cols
     ys = jnp.arange(height, dtype=jnp.float32)
-    xs = jnp.arange(width, dtype=jnp.float32)
+    xs = (jnp.arange(width, dtype=jnp.float32)
+          if x_coords is None else x_coords.astype(jnp.float32))
     coly = jax.vmap(lambda c: jnp.interp(ys, yc, c),
                     in_axes=1, out_axes=1)(centers)        # (H, tx)
-    full = jax.vmap(lambda r: jnp.interp(xs, xc, r))(coly)  # (H, W)
+    full = jax.vmap(lambda r: jnp.interp(xs, xc, r))(coly)  # (H, len(xs))
     full = jnp.clip(full, o_min, o_max)
     return jnp.round(full).astype(jnp.int32)
 
 
-def compose_global(disp_local: jnp.ndarray, o_field: jnp.ndarray):
+def compose_global(disp_local: jnp.ndarray, o_chunks: jnp.ndarray,
+                   chunk: int, d_min: int, d_max: int, stride: int = 1):
     """Global disparity ``dl + o(y, x - dl)``: the offset evaluated at the
-    matched RIGHT position (linear interp along x of the smooth integer
-    offset field — exact when offsets are constant along x)."""
+    matched RIGHT position.
+
+    Gather-free: the fractional lookup is a triangle-weighted scan over
+    the static local-disparity grid (the photoconsistency trick — each
+    step one contiguous slice of the edge-padded offset plane), linearly
+    interpolating o between grid shifts. Exact where o is locally linear;
+    at chunk steps the interpolation blends the two sides, which only
+    affects matches landing within a pixel of a chunk boundary.
+    """
     h, w = disp_local.shape
-    o = o_field.astype(jnp.float32)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - disp_local
-    x0 = jnp.clip(jnp.floor(xs), 0.0, w - 1.0)
-    t = jnp.clip(xs - x0, 0.0, 1.0)
-    i0 = x0.astype(jnp.int32)
-    i1 = jnp.clip(i0 + 1, 0, w - 1)
-    o0 = jnp.take_along_axis(o, i0, axis=1)
-    o1 = jnp.take_along_axis(o, i1, axis=1)
-    return disp_local + (1.0 - t) * o0 + t * o1
+    if o_chunks.shape[1] == 1:
+        # row-constant offsets: the composition is exact without lookup
+        return disp_local + o_chunks.astype(jnp.float32)
+    o_plane = (jnp.repeat(o_chunks, chunk, axis=1)[:, :w]
+               if chunk > 1 else o_chunks).astype(jnp.float32)
+    pad = max(abs(d_min), abs(d_max)) + stride
+    op = jnp.pad(o_plane, ((0, 0), (pad, pad)), mode="edge")
+    from pcmi_tpu.ops.stereo.matching import _scan_unroll
+
+    def step(acc, s):
+        shifted = jax.lax.dynamic_slice_in_dim(op, pad - s, w, axis=1)
+        wgt = jnp.maximum(1.0 - jnp.abs(disp_local - s) / stride, 0.0)
+        return acc + wgt * shifted, None
+
+    ds = jnp.arange(d_min, d_max + stride, stride, dtype=jnp.int32)
+    o_at, _ = jax.lax.scan(step, jnp.zeros_like(disp_local), ds,
+                           unroll=_scan_unroll())
+    return disp_local + o_at
+
+
+def _warp_chunk(cfg: StereoConfig, width: int) -> int:
+    """Effective warp-chunk width: row mode warps whole rows at once;
+    otherwise the largest power-of-two divisor of the canvas width that
+    is ≤ ``adapt_warp_chunk`` (production canvases are padded to 128, so
+    this is normally just ``adapt_warp_chunk``)."""
+    if cfg.adapt_band_cols == 0:
+        return width
+    ck = cfg.adapt_warp_chunk
+    while ck > 1 and width % ck:
+        ck //= 2
+    return max(ck, 1)
 
 
 def _offsets_from_coarse(left, right, valid_l, valid_r, cfg,
                          noise_ratio=None):
-    """(o_field (H, W) int32, coarse result) for the configured tiling."""
+    """((H, W/chunk) int32 offsets, coarse result) for the configured
+    tiling. Offsets are sampled at warp-chunk centres (see shift_rows)."""
     h, w = left.shape
     scale = cfg.adapt_coarse_scale
     rows = cfg.adapt_band_rows
@@ -228,8 +266,11 @@ def _offsets_from_coarse(left, right, valid_l, valid_r, cfg,
         cres.disparity * scale, cres.valid, ty,
         float(d_min_g), float(d_max_g), half=float(half), n_tiles_x=tx,
     )
-    o_field = field_offsets(centers, rows, cols, h, w, o_lo, o_hi)
-    return o_field, cres
+    ck = _warp_chunk(cfg, w)
+    xs = (jnp.arange(w // ck, dtype=jnp.float32) + 0.5) * ck
+    o_chunks = field_offsets(centers, rows, cols, h, w // ck, o_lo, o_hi,
+                             x_coords=xs)
+    return o_chunks, cres
 
 
 def banded_disparity(
@@ -255,7 +296,7 @@ def banded_disparity(
 
     ``offsets`` is an expert/testing hook: a caller-supplied (H,) or
     (H, W) offset field used instead of the coarse pass (clamped so the
-    window stays inside the envelope).
+    window stays inside the envelope, resampled to the warp-chunk grid).
     """
     from pcmi_tpu.pipelines.height_map import photoconsistency
 
@@ -267,28 +308,32 @@ def banded_disparity(
     o_hi = float(d_max_g - (half - 1))
     if o_lo > o_hi:
         o_lo = o_hi = float(d_min_g + cfg.max_disp // 2)
+    chunk = _warp_chunk(cfg, w)
+    nc = w // chunk
 
     if offsets is not None:
         o = jnp.round(jnp.clip(offsets.astype(jnp.float32), o_lo, o_hi))
-        o_field = jnp.broadcast_to(
-            o.astype(jnp.int32)[:, None] if o.ndim == 1 else o.astype(jnp.int32),
-            (h, w))
+        if o.ndim == 1:
+            o_chunks = jnp.tile(o.astype(jnp.int32)[:, None], (1, nc))
+        else:
+            o_chunks = o.astype(jnp.int32)[:, chunk // 2::chunk][:, :nc]
     else:
-        o_field, _ = _offsets_from_coarse(left, right, valid_l, valid_r,
-                                          cfg, noise_ratio)
+        o_chunks, _ = _offsets_from_coarse(left, right, valid_l, valid_r,
+                                           cfg, noise_ratio)
 
     # narrow production matcher, composed with the offset INSIDE the cost
     # build (census planes computed on the unwarped right, then warped)
     pad = cfg.max_disp // 2 + 1
     lcfg = dataclasses.replace(cfg, max_disp=cfg.adapt_local_disp,
-                               adapt_band_rows=0, adapt_band_cols=0)
+                               adapt_band_rows=0)
     res0 = compute_disparity(left, right, valid_l, valid_r, lcfg,
                              aggregation="sgm", noise_ratio=noise_ratio,
-                             row_shift=o_field, row_shift_pad=pad)
+                             row_shift=o_chunks, row_shift_pad=pad,
+                             row_shift_chunk=chunk)
     res = refine_disparity(res0, left, lcfg)
     # photoconsistency is per-pixel in the right INTENSITY — the plain
     # warp is exact for it (no neighbourhood descriptors involved)
-    right_w = shift_rows(right, o_field, pad, fill=0.0)
+    right_w = shift_rows(right, o_chunks, pad, fill=0.0, chunk=chunk)
     photo = photoconsistency(
         left, right_w, res.disparity,
         d_min=lcfg.min_disparity,
@@ -296,14 +341,20 @@ def banded_disparity(
         stride=lcfg.disp_stride,
     )
 
+    d_lo = lcfg.min_disparity
+    d_hi = lcfg.min_disparity + lcfg.max_disp - 1
+
     def to_global(r: DisparityResult) -> DisparityResult:
         return r._replace(
-            disparity=compose_global(r.disparity, o_field),
+            disparity=compose_global(r.disparity, o_chunks, chunk,
+                                     d_lo, d_hi, stride=lcfg.disp_stride),
             check_disparity=(None if r.check_disparity is None
-                             else compose_global(r.check_disparity, o_field)),
+                             else compose_global(r.check_disparity, o_chunks,
+                                                 chunk, d_lo, d_hi,
+                                                 stride=lcfg.disp_stride)),
         )
 
-    return to_global(res0), to_global(res), photo, o_field
+    return to_global(res0), to_global(res), photo, o_chunks
 
 
 def window_coverage(
@@ -315,12 +366,14 @@ def window_coverage(
     per-tile relief; well below means the window is clipping real
     structure and completeness will pay.
     """
-    o_field, cres = _offsets_from_coarse(left, right, valid_l, valid_r, cfg)
+    o_chunks, cres = _offsets_from_coarse(left, right, valid_l, valid_r, cfg)
     scale = cfg.adapt_coarse_scale
     half = cfg.adapt_local_disp // 2
     disp_c = cres.disparity * scale
     hc, wc = disp_c.shape
     # offset field sampled at coarse-cell centres
+    chunk = _warp_chunk(cfg, left.shape[1])
+    o_field = jnp.repeat(o_chunks, chunk, axis=1)
     oc = o_field[scale // 2::scale, scale // 2::scale][:hc, :wc]
     inside = jnp.abs(disp_c - oc.astype(jnp.float32)) <= (half - 4)
     n = jnp.maximum(jnp.sum(cres.valid), 1)

@@ -53,9 +53,12 @@ class DisparityResult(NamedTuple):
     # The confidence SGBM expresses as uniquenessRatio; low margin = flat or
     # bimodal cost curve (occlusion / fattening / weak texture).
     margin: jnp.ndarray | None = None
-    # Independent small-window cross-matcher estimate (band recovery);
+    # Independent cross-matcher estimate (band recovery);
     # None unless cfg.band_recover.
     check_disparity: jnp.ndarray | None = None
+    # The cross-matcher's own WTA uniqueness margin (vertical mode only):
+    # extra recovery evidence against correlated-fattening agreement.
+    check_margin: jnp.ndarray | None = None
 
 
 def census_transform(img: jnp.ndarray, window: int = 7):
@@ -85,6 +88,18 @@ def census_transform(img: jnp.ndarray, window: int = 7):
     return bits0, bits1
 
 
+def _vertical_box(vol: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Vertical-only (edge-padded) mean over the H axis of a (D, H, W)
+    volume — the aggregation of the vertical-support cross-checker, whose
+    horizontal fattening radius must stay ~0."""
+    r = k // 2
+    p = jnp.pad(vol, ((0, 0), (r, r), (0, 0)), mode="edge")
+    acc = jnp.zeros_like(vol)
+    for i in range(k):
+        acc = acc + jax.lax.dynamic_slice_in_dim(p, i, vol.shape[1], axis=1)
+    return acc / k
+
+
 def _box_edge(img: jnp.ndarray, block: int) -> jnp.ndarray:
     """Edge-padded mean filter matching ``numpy_ref.box_aggregate_np``."""
     r = block // 2
@@ -102,17 +117,25 @@ def _box_edge(img: jnp.ndarray, block: int) -> jnp.ndarray:
     return out
 
 
-def shift_rows(img: jnp.ndarray, shifts: jnp.ndarray, pad: int, fill):
+def shift_rows(img: jnp.ndarray, shifts: jnp.ndarray, pad: int, fill,
+               chunk: int = 1):
     """out(y, x) = img(y, x - shifts[...]) — the column warp behind the
     banded adaptive-range search (:mod:`pcmi_tpu.ops.stereo.banded`).
 
-    ``shifts`` is int32, either (H,) — one contiguous slice per row, no
-    gathers — or (H, W) — a per-pixel horizontal gather (one pass; paid
-    once per pair, not per disparity). Matches the matcher's shift
-    convention (``r_shift(x) = right(x - d)`` via slice start
-    ``pad - d``), so matching left against ``shift_rows(right, o)`` at
-    local disparity ``dl`` compares against ``right(x - (o + dl))`` —
-    global ``d = o + dl``.
+    ``shifts`` is int32, one of:
+
+    * (H,) — one contiguous slice per row, no gathers;
+    * (H, W) with ``chunk == 1`` — a per-pixel horizontal gather.
+      MEASURED SLOW on TPU (~7 ms/megapixel plane: element gathers along
+      the lane axis); prefer the chunked form;
+    * (H, W // chunk) with ``chunk > 1`` — one shift per ``chunk``-px
+      span: H*W/chunk contiguous ``chunk``-element slices, which XLA
+      lowers to a gather with ``chunk``-wide slices (lane-friendly).
+
+    Matches the matcher's shift convention (``r_shift(x) = right(x - d)``
+    via slice start ``pad - d``), so matching left against
+    ``shift_rows(right, o)`` at local disparity ``dl`` compares against
+    ``right(x - (o + dl))`` — global ``d = o + dl``.
     """
     h, w = img.shape
     padded = jnp.pad(img, ((0, 0), (pad, pad)), constant_values=fill)
@@ -121,6 +144,21 @@ def shift_rows(img: jnp.ndarray, shifts: jnp.ndarray, pad: int, fill):
             return jax.lax.dynamic_slice_in_dim(row, pad - s, w)
 
         return jax.vmap(take)(padded, shifts)
+    if chunk > 1:
+        nc = w // chunk
+        if nc * chunk != w or shifts.shape != (h, nc):
+            raise ValueError(f"chunked shifts must be (H, W/chunk); got "
+                             f"{shifts.shape} for W={w}, chunk={chunk}")
+        starts = (pad + jnp.arange(nc, dtype=jnp.int32)[None, :] * chunk
+                  - shifts)  # (H, nc)
+
+        def take_row(prow, srow):
+            sl = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(prow, (s,), (chunk,))
+            )(srow)
+            return sl.reshape(-1)
+
+        return jax.vmap(take_row)(padded, starts)
     idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + pad - shifts
     return jnp.take_along_axis(padded, idx, axis=1)
 
@@ -145,16 +183,18 @@ def build_cost_volume(
     cfg: StereoConfig,
     row_shift: jnp.ndarray | None = None,
     row_shift_pad: int = 0,
+    row_shift_chunk: int = 1,
 ) -> jnp.ndarray:
     """(D, H, W) float32 aggregated matching cost via scan over disparities.
 
     ``row_shift`` (the banded adaptive-range path) searches global
-    disparity ``row_shift[y] + d`` at volume slice d: census planes are
+    disparity ``row_shift[...] + d`` at volume slice d: census planes are
     computed on the UNWARPED right view and shifted afterwards, so the
     per-pixel cost is bit-exactly the full-search cost at the composed
     disparity — a naive pre-warp would shear the right image's vertical
-    structure and corrupt every census descriptor near row-offset ramps.
-    ``row_shift_pad`` must bound ``max |row_shift|`` (static).
+    structure and corrupt every census descriptor near offset ramps.
+    ``row_shift_pad`` must bound ``max |row_shift|`` (static);
+    ``row_shift_chunk`` is :func:`shift_rows`'s chunk width.
     """
     h, w = left.shape
     n_census = cfg.census_window**2 - 1
@@ -162,10 +202,12 @@ def build_cost_volume(
     census_r = census_transform(right, cfg.census_window)
     if row_shift is not None:
         sp = row_shift_pad
-        right = shift_rows(right, row_shift, sp, 0.0)
-        valid_r = shift_rows(valid_r, row_shift, sp, False)
-        census_r = (shift_rows(census_r[0], row_shift, sp, jnp.uint32(0)),
-                    shift_rows(census_r[1], row_shift, sp, jnp.uint32(0)))
+        ck = row_shift_chunk
+        right = shift_rows(right, row_shift, sp, 0.0, chunk=ck)
+        valid_r = shift_rows(valid_r, row_shift, sp, False, chunk=ck)
+        census_r = (
+            shift_rows(census_r[0], row_shift, sp, jnp.uint32(0), chunk=ck),
+            shift_rows(census_r[1], row_shift, sp, jnp.uint32(0), chunk=ck))
     rp, vp, c0p, c1p, pad = _shift_pack(right, valid_r, census_r, cfg.max_disp)
 
     def step(_, d):
@@ -222,10 +264,12 @@ def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig,
                   dirs: str = "4") -> jnp.ndarray:
     """Semi-global aggregation of a (D, H, W) cost volume.
 
-    ``dirs`` — "4" (L→R, R→L, T→B, B→T) or "h" (the two horizontal paths
+    ``dirs`` — "4" (L→R, R→L, T→B, B→T), "h" (the two horizontal paths
     only, at half the cost; used for the right-view volume whose sole
     consumer is the L/R consistency check — measured quality-neutral
-    there).
+    there), or "v" (the two vertical paths only; used by the
+    vertical-support cross-checker, whose independence from horizontal
+    fattening is the whole point).
 
     Dispatches to the Pallas kernel path on TPU (``cfg.sgm_backend``):
     the scan formulation below is the portable/parity reference."""
@@ -240,18 +284,22 @@ def sgm_aggregate(vol: jnp.ndarray, cfg: StereoConfig,
     p1, p2 = cfg.sgm_p1, cfg.sgm_p2
     dt = vol.dtype
     vol = vol.astype(jnp.float32)  # scan path computes in f32 regardless
-    # horizontal paths: scan over W with (D, H) state
-    vol_w = jnp.transpose(vol, (2, 0, 1))  # (W, D, H)
-    lr = _sgm_scan(vol_w, p1, p2, reverse=False)
-    rl = _sgm_scan(vol_w, p1, p2, reverse=True)
-    horiz = jnp.transpose(lr + rl, (1, 2, 0))  # (D, H, W)
-    if dirs == "h":
-        return (horiz / 2.0).astype(dt)
+    horiz = None
+    if dirs in ("4", "h"):
+        # horizontal paths: scan over W with (D, H) state
+        vol_w = jnp.transpose(vol, (2, 0, 1))  # (W, D, H)
+        lr = _sgm_scan(vol_w, p1, p2, reverse=False)
+        rl = _sgm_scan(vol_w, p1, p2, reverse=True)
+        horiz = jnp.transpose(lr + rl, (1, 2, 0))  # (D, H, W)
+        if dirs == "h":
+            return (horiz / 2.0).astype(dt)
     # vertical paths: scan over H with (D, W) state
     vol_h = jnp.transpose(vol, (1, 0, 2))  # (H, D, W)
     tb = _sgm_scan(vol_h, p1, p2, reverse=False)
     bt = _sgm_scan(vol_h, p1, p2, reverse=True)
     vert = jnp.transpose(tb + bt, (1, 0, 2))  # (D, H, W)
+    if dirs == "v":
+        return (vert / 2.0).astype(dt)
     return ((horiz + vert) / cfg.sgm_paths).astype(dt)
 
 
@@ -388,7 +436,8 @@ def derive_right_volume(vol: jnp.ndarray, d_min: int,
     return out
 
 
-@partial(jax.jit, static_argnames=("cfg", "aggregation", "row_shift_pad"))
+@partial(jax.jit, static_argnames=("cfg", "aggregation", "row_shift_pad",
+                                   "row_shift_chunk"))
 def compute_disparity(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -399,6 +448,7 @@ def compute_disparity(
     noise_ratio: jnp.ndarray | None = None,
     row_shift: jnp.ndarray | None = None,
     row_shift_pad: int = 0,
+    row_shift_chunk: int = 1,
 ) -> DisparityResult:
     """Full two-direction dense matcher.
 
@@ -418,7 +468,8 @@ def compute_disparity(
     stride = cfg.disp_stride
     vol_l = build_cost_volume(left, right, valid_l, valid_r, cfg,
                               row_shift=row_shift,
-                              row_shift_pad=row_shift_pad)
+                              row_shift_pad=row_shift_pad,
+                              row_shift_chunk=row_shift_chunk)
     if aggregation == "sgm":
         agg_l = sgm_aggregate(vol_l, cfg)
         if cfg.right_sgm == "derived":
@@ -445,12 +496,21 @@ def compute_disparity(
                         stride=stride)
 
     check = None
+    check_margin = None
     if cfg.band_recover:
-        # Independent cross-matcher: small census/block, purely local (no
-        # SGM) — its fattening radius and smoothness-induced blunders are
-        # uncorrelated with the main pass, so agreement within sub-pixel is
-        # strong evidence the band pixel is genuine (used by pair_core's
-        # band-recovery densification).
+        # Independent cross-matcher (used by pair_core's band-recovery
+        # densification). Two modes:
+        #   "census"   — small square census/block, purely local (no SGM):
+        #     maximally independent, but uninformative at wide search
+        #     (8-bit census over 144 candidates WTAs garbage minima).
+        #   "vertical" — census 3 with VERTICAL-ONLY aggregation (k-row
+        #     box + 2-path vertical SGM): its horizontal fattening radius
+        #     is ~1 px, so where the main (horizontal-window) pass
+        #     fattened a building edge sideways, this checker reports the
+        #     background's true disparity and the agreement test fails —
+        #     while staying informative at any search width. Square
+        #     windows of any size agree with fattening (correlated
+        #     support; measured on the D=288 scene).
         import dataclasses as _dc
 
         cl, cr = left, right
@@ -466,12 +526,25 @@ def compute_disparity(
             t = cfg.noise_adapt * jnp.clip((noise_ratio - 0.5) / 0.5, 0.0, 1.0)
             cl = (1.0 - t) * left + t * gaussian_filter(left, sigma=1.0)
             cr = (1.0 - t) * right + t * gaussian_filter(right, sigma=1.0)
-        cfg_s = _dc.replace(cfg, block_size=cfg.band_check_block,
-                            census_window=cfg.band_check_census)
-        vol_s = build_cost_volume(cl, cr, valid_l, valid_r, cfg_s,
-                                  row_shift=row_shift,
-                                  row_shift_pad=row_shift_pad)
-        check, _ = wta_disparity(vol_s, cfg.min_disparity, stride=stride)
+        if cfg.band_check_mode == "vertical":
+            cfg_s = _dc.replace(cfg, block_size=1,
+                                census_window=cfg.band_check_census)
+            vol_s = build_cost_volume(cl, cr, valid_l, valid_r, cfg_s,
+                                      row_shift=row_shift,
+                                      row_shift_pad=row_shift_pad,
+                                      row_shift_chunk=row_shift_chunk)
+            vol_s = _vertical_box(vol_s, cfg.band_check_vbox)
+            vol_s = sgm_aggregate(vol_s, cfg_s, dirs="v")
+            check, _, check_margin = wta_disparity(
+                vol_s, cfg.min_disparity, stride=stride, with_margin=True)
+        else:
+            cfg_s = _dc.replace(cfg, block_size=cfg.band_check_block,
+                                census_window=cfg.band_check_census)
+            vol_s = build_cost_volume(cl, cr, valid_l, valid_r, cfg_s,
+                                      row_shift=row_shift,
+                                      row_shift_pad=row_shift_pad,
+                                      row_shift_chunk=row_shift_chunk)
+            check, _ = wta_disparity(vol_s, cfg.min_disparity, stride=stride)
 
     return DisparityResult(
         disparity=disp_l,
@@ -480,6 +553,7 @@ def compute_disparity(
         disparity_right=disp_r,
         margin=margin,
         check_disparity=check,
+        check_margin=check_margin,
     )
 
 

@@ -285,8 +285,9 @@ def sgm_aggregate_pallas_sub(
     """SGM on a (D, H, W) volume, disparity-on-sublanes kernels.
 
     Returns the (D, H, W) mean of the directional aggregations —
-    ``dirs="4"`` all four paths, ``dirs="h"`` the two horizontal paths
-    (half the kernel work; see :func:`matching.sgm_aggregate`)."""
+    ``dirs="4"`` all four paths, ``dirs="h"`` the two horizontal paths,
+    ``dirs="v"`` the two vertical paths (each two-path form is half the
+    kernel work; see :func:`matching.sgm_aggregate`)."""
     d, h, w = vol_dhw.shape
     # sublane granularity is dtype-dependent: (8, 128) f32 tiles, (16, 128)
     # bf16 tiles
@@ -298,17 +299,21 @@ def sgm_aggregate_pallas_sub(
     vol = jnp.pad(vol_dhw, ((0, dp - d), (0, 0), (0, 0)), constant_values=BIG)
     vol = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w)))
 
-    vol_h = jnp.transpose(vol, (2, 0, 1))      # (W, D, H): scan cols
-    lr = _dir_call_sub(vol_h, False, band, chunk, p1, p2)
-    rl = _dir_call_sub(vol_h, True, band, chunk, p1, p2)
-    horiz = jnp.transpose(lr + rl, (1, 2, 0))
-    if dirs == "h":
-        return (horiz * 0.5)[:d, :h, :w]
+    horiz = None
+    if dirs in ("4", "h"):
+        vol_h = jnp.transpose(vol, (2, 0, 1))  # (W, D, H): scan cols
+        lr = _dir_call_sub(vol_h, False, band, chunk, p1, p2)
+        rl = _dir_call_sub(vol_h, True, band, chunk, p1, p2)
+        horiz = jnp.transpose(lr + rl, (1, 2, 0))
+        if dirs == "h":
+            return (horiz * 0.5)[:d, :h, :w]
     vol_v = jnp.swapaxes(vol, 0, 1)            # (H, D, W): scan rows
     tb = _dir_call_sub(vol_v, False, band, chunk, p1, p2)
     bt = _dir_call_sub(vol_v, True, band, chunk, p1, p2)
-    out = (jnp.swapaxes(tb + bt, 0, 1) + horiz) * 0.25
-    return out[:d, :h, :w]
+    vert = jnp.swapaxes(tb + bt, 0, 1)
+    if dirs == "v":
+        return (vert * 0.5)[:d, :h, :w]
+    return ((vert + horiz) * 0.25)[:d, :h, :w]
 
 
 def _make_dir_kernel(scan_axis: int, reverse: bool, span: int, chunk: int,

@@ -268,6 +268,15 @@ def pair_core(
             & (res0.margin > band_margin)
             & (photo < cfg.band_photo_factor * photo_thresh)
         )
+        if res0.check_margin is not None and cfg.band_check_margin > 0:
+            band_keep = band_keep & (res0.check_margin
+                                     > cfg.band_check_margin)
+        if cfg.band_core_excl > 0:
+            # mixed (anti-aliased) pixels on the depth-edge line itself
+            # triangulate to intermediate heights while passing every
+            # consistency check — exclude the thin edge core outright
+            band_keep = band_keep & ~binary_dilation(
+                edge, iterations=cfg.band_core_excl)
         gated_valid = gated_valid | band_keep
     res = res._replace(valid=gated_valid)
 

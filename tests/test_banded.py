@@ -120,18 +120,30 @@ def test_field_offsets_bilinear_and_clamp():
 
 
 def test_compose_global_interpolates_offsets():
-    # o(y, x) = x (a ramp); dl = 2 everywhere
+    # o(y, x) = x (a ramp, chunk=1); dl = 2 everywhere
     # global = dl + o(y, x - dl) = 2 + (x - 2) = x
     o = np.tile(np.arange(16, dtype=np.int32)[None, :], (4, 1))
     dl = jnp.full((4, 16), 2.0)
-    g = np.asarray(compose_global(dl, jnp.asarray(o)))
+    g = np.asarray(compose_global(dl, jnp.asarray(o), chunk=1,
+                                  d_min=-4, d_max=4))
     np.testing.assert_allclose(g[:, 2:], np.tile(np.arange(16)[None, 2:],
                                                  (4, 1)), atol=1e-5)
     # constant offsets: exact composition everywhere, fractional dl ok
     o2 = jnp.full((4, 16), 7, jnp.int32)
     dl2 = jnp.full((4, 16), -3.25)
-    g2 = np.asarray(compose_global(dl2, o2))
+    g2 = np.asarray(compose_global(dl2, o2, chunk=1, d_min=-4, d_max=4))
     np.testing.assert_allclose(g2, 7.0 - 3.25, atol=1e-5)
+    # chunked offsets expand to the pixel grid before lookup
+    o3 = jnp.asarray([[2, 6]], jnp.int32)           # (1, 2) chunks of 8
+    dl3 = jnp.zeros((1, 16))
+    g3 = np.asarray(compose_global(dl3, o3, chunk=8, d_min=-4, d_max=4))
+    np.testing.assert_allclose(g3[0, :8], 2.0, atol=1e-5)
+    np.testing.assert_allclose(g3[0, 9:], 6.0, atol=1e-5)
+    # row-constant (nc == 1): exact direct add
+    o4 = jnp.asarray([[5]], jnp.int32)
+    g4 = np.asarray(compose_global(jnp.full((1, 16), 1.5), o4, chunk=16,
+                                   d_min=-4, d_max=4))
+    np.testing.assert_allclose(g4, 6.5, atol=1e-5)
 
 
 @pytest.fixture(scope="module")
