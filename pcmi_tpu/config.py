@@ -144,6 +144,23 @@ class StereoConfig:
     # height — evidence gates cannot catch them (measured: they pass
     # photo/margin/cross-check). Radius in px; 0 disables.
     band_core_excl: int = 0
+    # Pre-match Gaussian smoothing of the normalised inputs (px sigma).
+    # The low-texture lever: at per-pixel SNR ~ 1 raw census bits are
+    # noise, but the surface signal survives at lower frequency —
+    # smoothing trades resolution for matchability (LR-only coverage on
+    # the lowtex family: ~2% raw -> ~65% of the observable at sigma 1.5,
+    # median |height error| ~0.3-0.5 m). 0 disables.
+    presmooth_sigma: float = 0.0
+    # Per-pair validity profile:
+    #   "strict" — the full blunder-gate cascade (speckle, edge band,
+    #     photo, uniqueness, band recovery): the single-pair product.
+    #   "lr"     — L/R consistency only. For MULTI-DATE fusion inputs:
+    #     the per-pixel gates that protect a single-pair product throw
+    #     away most low-texture coverage (their thresholds sit below the
+    #     matcher noise there), while the cross-pair consistency mask
+    #     (dsm_finalize_multi mad_max) rejects blunders with the
+    #     redundancy a single pair does not have.
+    gate_profile: str = "strict"
     # Noise-adaptive recovery: a per-scene SNR proxy (Immerkaer noise
     # estimate over high-pass signal, both medians on the valid strided
     # grid) drives three continuous adaptations, all traced (no recompile):
@@ -241,6 +258,8 @@ class StereoConfig:
         if self.band_check_mode not in ("census", "vertical"):
             raise ValueError(f"unknown band_check_mode "
                              f"{self.band_check_mode!r}")
+        if self.gate_profile not in ("strict", "lr"):
+            raise ValueError(f"unknown gate_profile {self.gate_profile!r}")
 
     @property
     def min_disparity(self) -> int:

@@ -152,6 +152,14 @@ def pair_core(
     else:
         n1, _ = normalise_image(rect1, mask1, subsample=cfg.norm_subsample)
         n2, _ = normalise_image(rect2, mask2, subsample=cfg.norm_subsample)
+    if cfg.presmooth_sigma > 0:
+        # low-texture matchability: trade resolution for SNR (the
+        # margin_undefined shrink below already covers the filter's
+        # support at the footprint borders)
+        from pcmi_tpu.ops.filters import gaussian_filter
+
+        n1 = gaussian_filter(n1, sigma=cfg.presmooth_sigma)
+        n2 = gaussian_filter(n2, sigma=cfg.presmooth_sigma)
 
     # shrink validity away from undefined borders (ref post_process_undefined,
     # processing.py:35-41: binary_dilation of the invalid region x24)
@@ -161,7 +169,7 @@ def pair_core(
     v2 = mask2 & ~inv2
 
     noise_ratio = None
-    if cfg.noise_adapt > 0:
+    if cfg.noise_adapt > 0 and cfg.gate_profile != "lr":
         from pcmi_tpu.ops.normalize import snr_ratio
 
         noise_ratio = snr_ratio(n1, mask1)
@@ -197,6 +205,15 @@ def pair_core(
             d_max=cfg.min_disparity + cfg.max_disp - 1,
             stride=cfg.disp_stride,
         )
+
+    if cfg.gate_profile == "lr":
+        # multi-date fusion profile: per-pair validity is L/R consistency
+        # only — the cross-pair consistency mask downstream
+        # (streaming.dsm_finalize_multi mad_max) does the blunder
+        # rejection with redundancy a single pair does not have
+        return _finalise_product(res, v1, mask1, mask2, n1, n2, photo,
+                                 tri_M, tri_b, row0, with_plane,
+                                 ground_percentile, cap_percentile)
 
     # Blunder gates: matching errors concentrate in foreground-fattening /
     # occlusion bands around disparity discontinuities (the failure mode the
@@ -279,7 +296,15 @@ def pair_core(
                 edge, iterations=cfg.band_core_excl)
         gated_valid = gated_valid | band_keep
     res = res._replace(valid=gated_valid)
+    return _finalise_product(res, v1, mask1, mask2, n1, n2, photo,
+                             tri_M, tri_b, row0, with_plane,
+                             ground_percentile, cap_percentile)
 
+
+def _finalise_product(res, v1, mask1, mask2, n1, n2, photo, tri_M, tri_b,
+                      row0, with_plane, ground_percentile, cap_percentile):
+    """Triangulation + plane-relative heights + product assembly (the
+    shared tail of both gate profiles of :func:`pair_core`)."""
     # triangulate via the shared geometry operator
     from pcmi_tpu.geometry.rectify import triangulate_from_operator
 

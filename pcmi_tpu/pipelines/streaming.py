@@ -111,7 +111,8 @@ def dsm_finalize(acc: StreamingDSM) -> Tuple[np.ndarray, np.ndarray]:
     return mean, wsum
 
 
-def dsm_finalize_multi(accs: Sequence[StreamingDSM], min_pairs: int = 1):
+def dsm_finalize_multi(accs: Sequence[StreamingDSM], min_pairs: int = 1,
+                       mad_max: float | None = None):
     """Cross-pair median finalisation.
 
     Per-pair cell means are stacked and the per-cell median across pairs is
@@ -125,6 +126,15 @@ def dsm_finalize_multi(accs: Sequence[StreamingDSM], min_pairs: int = 1):
     blunder tail (measured on the 3-date drive: interval RMSE 1.32 m over
     all cells vs 0.52 m at ``n_pairs >= 2`` and 0.34 m at ``>= 3``). The
     default keeps every cell; ``n_pairs`` lets callers gate afterwards.
+
+    ``mad_max`` (metres) additionally masks cells where the acquisitions
+    DISAGREE: the cross-pair median absolute deviation around the fused
+    value must stay below it. This is the consistency gate behind the
+    low-texture fusion profile (``StereoConfig.gate_profile="lr"``):
+    per-pair validity is deliberately permissive there, and blunders —
+    which decorrelate across acquisition geometries in HEIGHT space even
+    when image-space ambiguities repeat — reveal themselves as
+    cross-pair spread.
     """
     means, counts = [], []
     for acc in accs:
@@ -138,6 +148,9 @@ def dsm_finalize_multi(accs: Sequence[StreamingDSM], min_pairs: int = 1):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN cells
         dsm = np.nanmedian(stack, axis=0)
+        if mad_max is not None:
+            mad = np.nanmedian(np.abs(stack - dsm[None]), axis=0)
+            dsm = np.where(mad <= mad_max, dsm, np.nan)
     if min_pairs > 1:
         dsm = np.where(n_pairs >= min_pairs, dsm, np.nan)
     return dsm, np.sum(counts, axis=0), n_pairs
