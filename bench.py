@@ -8,11 +8,12 @@ Prints ONE JSON line:
                    JAX device (the TPU chip under the driver).
 ``vs_baseline``  — speedup over the CPU NumPy reference implementation
                    (pcmi_tpu.ops.stereo.numpy_ref), the BASELINE.json
-                   config-1 parity path, measured here on a smaller crop
-                   with the same disparity-search width and normalised
-                   per megapixel. The reference repo publishes no numbers
-                   (BASELINE.md), so this measured CPU path is the
-                   denominator the ≥20x north-star target refers to.
+                   config-1 parity path. The reference repo publishes no
+                   numbers (BASELINE.md), so this CPU path is the
+                   denominator the ≥20x north-star target refers to —
+                   PINNED to a documented quiet-rig measurement
+                   (PINNED_CPU_MPIX_S below; the per-run measurement is
+                   reported alongside for drift visibility).
 """
 
 from __future__ import annotations

@@ -146,9 +146,14 @@ def bench_inpaint(steps: int, size: int = 96, batch: int = 8, seed: int = 0,
     from pcmi_tpu.models.losses import random_hole_masks
     from pcmi_tpu.models.metrics import psnr, ssim
     from pcmi_tpu.models.training import InpaintGANTrainer, InpaintTrainConfig
+    from pcmi_tpu.models.unet import InpaintUNet
     from pcmi_tpu.pipelines.generative import diffusion_prefill
 
-    trainer = InpaintGANTrainer(InpaintTrainConfig())
+    # capacity + cosine decay + flip-ensemble eval: the 1.5 dB-mean bar
+    # needs all three (constant-lr default widths saturate ~1.04 dB)
+    trainer = InpaintGANTrainer(
+        InpaintTrainConfig(total_steps=steps),
+        generator=InpaintUNet(widths=(48, 96, 192, 384)))
     key = jax.random.PRNGKey(seed)
     pool = make_pool(key, 48, size)
     state = trainer.init(jax.random.PRNGKey(seed + 1), pool[:batch])
@@ -165,7 +170,7 @@ def bench_inpaint(steps: int, size: int = 96, batch: int = 8, seed: int = 0,
         imgs_t = _batch(ek, batch, size)
         mask = random_hole_masks(jax.random.PRNGKey(61_000 + seed + 97 * es),
                                  (batch, size, size), 6, 10)
-        out = trainer.infer(state, imgs_t, mask)
+        out = trainer.infer(state, imgs_t, mask, ensemble=True)
         pre = jnp.stack([
             diffusion_prefill(imgs_t[i], mask[i, ..., 0] > 0.5)
             for i in range(batch)
@@ -192,6 +197,178 @@ def bench_inpaint(steps: int, size: int = 96, batch: int = 8, seed: int = 0,
             "train_seconds": round(train_s, 1)}
 
 
+def make_styled_scene(key, style: str, size: int = 64):
+    """Two visually-distinct scene styles for prompt-steering evaluation:
+    ``fields`` (dark Voronoi parcels, thin roads, no buildings) and
+    ``urban`` (bright dense blocks with shadows)."""
+    import jax
+    import jax.numpy as jnp
+
+    seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+    k = 10
+    seeds = rng.uniform(0, size, (k, 2)).astype(np.float32)
+    d2 = (ys[..., None] - seeds[:, 0]) ** 2 + (xs[..., None] - seeds[:, 1]) ** 2
+    lab = np.argmin(d2, axis=-1)
+    if style == "fields":
+        refl = rng.uniform(0.15, 0.45, k).astype(np.float32)
+        g = refl[lab]
+        for _ in range(rng.integers(1, 3)):
+            p = rng.uniform(0, size, 2)
+            th = rng.uniform(0, np.pi)
+            n_ = np.array([np.sin(th), -np.cos(th)])
+            dist = np.abs((ys - p[0]) * n_[0] + (xs - p[1]) * n_[1])
+            g = np.where(dist < 1.2, 0.1, g)
+    elif style == "urban":
+        refl = rng.uniform(0.35, 0.55, k).astype(np.float32)
+        g = refl[lab]
+        for _ in range(rng.integers(10, 16)):
+            cy, cx = rng.uniform(4, size - 4, 2)
+            hh, ww = rng.uniform(2, 6, 2)
+            b = (np.abs(ys - cy) < hh) & (np.abs(xs - cx) < ww)
+            s = (np.abs(ys - cy - hh) < 1.5) & (np.abs(xs - cx - ww / 2) < ww)
+            g = np.where(s, 0.08, g)
+            g = np.where(b, 0.9, g)
+    else:
+        raise ValueError(style)
+    g = g + rng.normal(0, 0.02, g.shape).astype(np.float32)
+    rgb = np.stack([0.92 * g + 0.04, g, 0.85 * g + 0.06], axis=-1)
+    return jnp.asarray(np.clip(rgb, 0.0, 1.0), jnp.float32)
+
+
+STYLE_CAPTIONS = {
+    "fields": ("dark farm fields", "flat rural fields", "quiet dark farmland",
+               "rural parcels with road", "dark flat fields"),
+    "urban": ("bright urban blocks", "dense city buildings",
+              "bright dense urban", "urban buildings with shadows",
+              "dense bright blocks"),
+}
+
+
+def bench_diffusion(steps: int, size: int = 64, batch: int = 16,
+                    seed: int = 0):
+    """Conditioned-diffusion capability: free-text steering + CFG.
+
+    Trains the tiled diffusion engine (TextEncoder conditioning,
+    classifier-free-guidance dropout) from scratch on two caption-labelled
+    scene styles, then measures on held-out masked scenes (VERDICT r3
+    item 5 — "a measured steering metric"):
+
+    * ``steer_brightness`` — in-hole mean-brightness shift urban-prompt
+      minus fields-prompt (same seeds/holes; styles differ by reflectance
+      and structure, so the conditional fill must move it);
+    * ``divergence_g{1,3}`` — in-hole L1 divergence between the two
+      prompts' fills at guidance 1 and 3: CFG must AMPLIFY steering;
+    * ``matched_minus_mismatched_db`` — in-hole PSNR advantage of the
+      style-matched prompt over the mismatched one (semantic fill
+      quality, not just divergence).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pcmi_tpu.models.diffusion import (CondUNet, DiffusionConfig,
+                                           TiledDiffusionEngine,
+                                           tokenize_prompt)
+    from pcmi_tpu.models.metrics import psnr
+
+    cfg = DiffusionConfig(steps=18, tile=32, stride=24, img_channels=3,
+                          train_timesteps=400, text_conditioning=True,
+                          cfg_dropout=0.1)
+    eng = TiledDiffusionEngine(cfg, model=CondUNet(widths=(16, 32, 64),
+                                                   out_channels=3,
+                                                   text_conditioning=True))
+    key = jax.random.PRNGKey(seed)
+    kf, ku = jax.random.split(key)
+    pools = {
+        "fields": jnp.stack([make_styled_scene(k, "fields", size)
+                             for k in jax.random.split(kf, 24)]),
+        "urban": jnp.stack([make_styled_scene(k, "urban", size)
+                            for k in jax.random.split(ku, 24)]),
+    }
+    toks = {s: jnp.stack([jnp.asarray(tokenize_prompt(c), jnp.int32)
+                          for c in cs]) for s, cs in STYLE_CAPTIONS.items()}
+
+    params = eng.init_params(jax.random.PRNGKey(seed + 1))
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    from pcmi_tpu.models.losses import random_hole_masks
+
+    pool_all = jnp.concatenate([pools["fields"], pools["urban"]])
+    tok_all = jnp.stack([toks["fields"], toks["urban"]])  # (2, 5, L)
+    n_pool = pools["fields"].shape[0]
+
+    @jax.jit
+    def step(params, opt_state, key):
+        ki, kc, kv, km, kl = jax.random.split(key, 5)
+        style = jax.random.randint(kc, (batch,), 0, 2)
+        idx = jax.random.randint(ki, (batch,), 0, n_pool) + style * n_pool
+        imgs = pool_all[idx] * 2.0 - 1.0
+        variant = jax.random.randint(kv, (batch,), 0, tok_all.shape[1])
+        tk = tok_all[style, variant]
+        masks = random_hole_masks(km, (batch, size, size), 8, 16)
+        loss, grads = jax.value_and_grad(eng.train_step_loss)(
+            params, imgs, masks, kl, None, tk)
+        upd, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    t0 = time.perf_counter()
+    loss0 = last = None
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        if i == 20:
+            loss0 = float(loss)
+    last = float(loss)
+    train_s = time.perf_counter() - t0
+
+    # held-out eval: centre hole, fill under each prompt
+    import numpy as _np
+
+    hole = _np.zeros((size, size, 1), _np.float32)
+    q = size // 4
+    hole[q:size - q, q:size - q] = 1.0
+    hole = jnp.asarray(hole)
+    prompts = {"fields": "dark farm fields", "urban": "bright urban blocks"}
+
+    def fill(img, prompt, s, g):
+        out = eng.inpaint(params, img * 2.0 - 1.0, hole, seed=s,
+                          prompt=prompt, guidance=g)
+        return (out + 1.0) * 0.5
+
+    hv = hole > 0.5
+    div = {1.0: [], 3.0: []}
+    steer = []
+    matched_adv = []
+    for s_i, style in enumerate(("fields", "urban")):
+        img = make_styled_scene(jax.random.PRNGKey(90_000 + seed + s_i),
+                                style, size)
+        other = "urban" if style == "fields" else "fields"
+        for g in (1.0, 3.0):
+            fa = fill(img, prompts[style], 7 + s_i, g)
+            fb = fill(img, prompts[other], 7 + s_i, g)
+            div[g].append(float(jnp.mean(jnp.abs(fa - fb)[hv[..., 0]])))
+            if g == 3.0:
+                pm = float(psnr(fa[None], img[None], mask=hole[None]))
+                px = float(psnr(fb[None], img[None], mask=hole[None]))
+                matched_adv.append(pm - px)
+                sign = 1.0 if style == "urban" else -1.0
+                steer.append(sign * float(
+                    jnp.mean(fa[hv[..., 0]]) - jnp.mean(fb[hv[..., 0]])))
+    out = {
+        "train_seconds": round(train_s, 1),
+        "loss_start": round(loss0, 4) if loss0 else None,
+        "loss_end": round(last, 4),
+        "divergence_g1": round(float(np.mean(div[1.0])), 4),
+        "divergence_g3": round(float(np.mean(div[3.0])), 4),
+        "steer_brightness": round(float(np.mean(steer)), 4),
+        "matched_minus_mismatched_db": round(float(np.mean(matched_adv)), 3),
+    }
+    return out
+
+
 def bench_dip(size: int = 96, seed: int = 0):
     import jax
     import jax.numpy as jnp
@@ -213,22 +390,31 @@ def bench_dip(size: int = 96, seed: int = 0):
             "gain_db": round(p_out - p_in, 3)}
 
 
-def main(sr_steps=800, inpaint_steps=12000):
+def main(sr_steps=2500, inpaint_steps=30000, diffusion_steps=4000):
     sr = bench_sr(sr_steps)
     inp = bench_inpaint(inpaint_steps)
     dip = bench_dip()
+    diff = bench_diffusion(diffusion_steps)
     result = {
         "metric": "generative_quality",
         "value": sr["gain_db"],
         "unit": "dB PSNR over bicubic (SR)",
         "vs_baseline": round(sr["sr_psnr"] / max(sr["bicubic_psnr"], 1e-9), 3),
         "detail": {
-            "sr": sr, "inpaint": inp, "dip": dip,
+            "sr": sr, "inpaint": inp, "dip": dip, "diffusion": diff,
+            # VERDICT r3 item 5 bars: inpaint mean >= 1.5 dB with EVERY
+            # seed >= 1.0 dB; plus measured prompt steering with CFG
             "gates": {
                 "sr_beats_bicubic": bool(sr["gain_db"] > 0),
                 "inpaint_beats_prefill": bool(inp["gain_db"] > 0),
-                "inpaint_gain_ge_1db": bool(inp["gain_db"] >= 1.0),
+                "inpaint_gain_ge_1.5db_mean": bool(inp["gain_db"] >= 1.5),
+                "inpaint_all_seeds_ge_1db": bool(inp["gain_db_min"] >= 1.0),
                 "dip_denoises": bool(dip["gain_db"] > 0),
+                "diffusion_steers": bool(diff["steer_brightness"] > 0.02),
+                "diffusion_cfg_amplifies": bool(
+                    diff["divergence_g3"] > diff["divergence_g1"]),
+                "diffusion_matched_prompt_better": bool(
+                    diff["matched_minus_mismatched_db"] > 0),
             },
         },
     }
@@ -238,7 +424,8 @@ def main(sr_steps=800, inpaint_steps=12000):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sr-steps", type=int, default=800)
-    ap.add_argument("--inpaint-steps", type=int, default=12000)
+    ap.add_argument("--sr-steps", type=int, default=2500)
+    ap.add_argument("--inpaint-steps", type=int, default=30000)
+    ap.add_argument("--diffusion-steps", type=int, default=4000)
     a = ap.parse_args()
-    main(a.sr_steps, a.inpaint_steps)
+    main(a.sr_steps, a.inpaint_steps, a.diffusion_steps)
