@@ -91,13 +91,17 @@ def _probe_backend(timeout_s: float = None, retries: int = None) -> str:
 #     SGM aggregation — the same per-Mpix work as the TPU path.
 #   * timing: median of 9 single-threaded reps after 1 warm-up, taken as
 #     the best median of two such batches — robust to transient rig load.
-#   * pinned on 2026-08-18 on this rig (quiet, two runs 0.0424/0.0428
-#     within ±1%): 0.0426 Mpix/s. Earlier rounds' lower numbers (0.021)
-#     were best-of-3 on a loaded rig; the pin supersedes them.
+#   * pinned on 2026-08-18 on this rig: two independent quiet runs
+#     (load < 1 on the single core) measured batch medians
+#     0.0473/0.0462 and 0.0515/0.0513 Mpix/s — reproducible within ±9%,
+#     pinned to the mean 0.0491. Earlier rounds' lower numbers
+#     (0.021-0.059) were best-of-3 measured while other jobs shared the
+#     core; the pin supersedes them (and HALVES the historical
+#     vs_baseline ratios — the honest denominator).
 # ``vs_baseline`` divides by THIS constant; the freshly measured value is
 # reported alongside in ``detail.cpu_ref_mpix_s_measured`` so drift stays
 # visible without moving the scoreboard.
-PINNED_CPU_MPIX_S = 0.0426
+PINNED_CPU_MPIX_S = 0.0491
 
 
 def _measure_cpu_ref(l_np, r_np, v_np, max_disp, block_size, lr_threshold,
@@ -185,7 +189,19 @@ def main():
 
 
 def _run_bench(device_str: str):
+    import os
+
     import jax
+
+    # persistent compilation cache: the bench compiles ~15 distinct
+    # executables (~20 of its ~34 wall minutes on a cold run); cached
+    # re-runs (e.g. the driver's capture after a self-run) are
+    # execution-dominated
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from pcmi_tpu.config import PipelineConfig, RectifyConfig, StereoConfig

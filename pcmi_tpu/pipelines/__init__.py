@@ -8,7 +8,11 @@ from pcmi_tpu.pipelines.height_map import (
     product_point_cloud,
     required_max_disp,
 )
-from pcmi_tpu.pipelines.multiday import FusedCloud, MultiDayFusion
+from pcmi_tpu.pipelines.multiday import (
+    FusedCloud,
+    MultiDayFusion,
+    fused_consistency_dsm,
+)
 from pcmi_tpu.pipelines.streaming import StreamingAOIPipeline
 from pcmi_tpu.pipelines.sweep import AOISpec, MultiAOISweep
 from pcmi_tpu.pipelines.saliency import SaliencyDetector

@@ -82,3 +82,32 @@ def test_streaming_matches_monolithic(scene, cfg):
     # band seams may differ slightly (halo truncation of SGM/median context)
     assert np.median(diff) < 0.05
     assert (diff < 0.5).mean() > 0.9
+
+
+def test_dsm_finalize_multi_mad_mask():
+    """mad_max masks cells where the acquisitions disagree; consensus
+    cells keep the median (the lowtex-fusion consistency gate)."""
+    import jax.numpy as jnp
+
+    from pcmi_tpu.pipelines.streaming import StreamingDSM, dsm_finalize_multi
+
+    def acc_of(vals):
+        v = jnp.asarray(vals, jnp.float32)
+        w = jnp.where(jnp.isnan(v), 0.0, 1.0)
+        v = jnp.nan_to_num(v)
+        return StreamingDSM(wsum=w, vsum=v * w, vsq=v * v * w)
+
+    # 3 pairs over a 1x4 grid:
+    # cell 0: consensus (10, 10.2, 9.9)      -> kept, median ~10
+    # cell 1: one blunder (5, 5.1, 25)       -> kept (MAD from median small)
+    # cell 2: disagreement (0, 8, 16)        -> masked by mad_max
+    # cell 3: single pair only               -> masked by min_pairs
+    accs = [acc_of([[10.0, 5.0, 0.0, 7.0]]),
+            acc_of([[10.2, 5.1, 8.0, np.nan]]),
+            acc_of([[9.9, 25.0, 16.0, np.nan]])]
+    dsm, cnt, npair = dsm_finalize_multi(accs, min_pairs=2, mad_max=1.0)
+    assert abs(dsm[0, 0] - 10.0) < 0.21
+    assert abs(dsm[0, 1] - 5.1) < 1e-5         # median robust to 1-of-3
+    assert np.isnan(dsm[0, 2])                  # cross-pair MAD 8 > 1
+    assert np.isnan(dsm[0, 3])                  # redundancy gate
+    np.testing.assert_array_equal(npair[0], [3, 3, 3, 1])
