@@ -319,12 +319,19 @@ def _finalise_product(res, v1, mask1, mask2, n1, n2, photo, tri_M, tri_b,
     if with_plane:
         plane = fit_plane(xyz, valid.astype(jnp.float32))
         rel = plane_relative_height(xyz, plane)
-        from pcmi_tpu.ops.normalize import _masked_quantile
-        qs = _masked_quantile(
-            rel, valid,
-            jnp.asarray([ground_percentile / 100.0, cap_percentile / 100.0]),
-        )
-        rel = jnp.clip(rel - qs[0], None, qs[1] - qs[0])
+        # two-stage grid quantiles (64² effective bins) instead of the
+        # full-canvas sort _masked_quantile pays (~1 ms/Mpix on-chip);
+        # the display clip tolerates far coarser resolution than that
+        from pcmi_tpu.ops.normalize import masked_quantile_grid
+        rlo = jnp.min(jnp.where(valid, rel, jnp.inf))
+        rhi = jnp.max(jnp.where(valid, rel, -jnp.inf))
+        rlo = jnp.where(jnp.isfinite(rlo), rlo, 0.0)
+        rhi = jnp.where(jnp.isfinite(rhi), jnp.maximum(rhi, rlo + 1e-6), 1.0)
+        q0 = masked_quantile_grid(rel, valid, rlo, rhi,
+                                  ground_percentile / 100.0)
+        q1 = masked_quantile_grid(rel, valid, rlo, rhi,
+                                  cap_percentile / 100.0)
+        rel = jnp.clip(rel - q0, None, q1 - q0)
         rel = jnp.where(valid, rel, jnp.nan)
     else:
         rel = jnp.full_like(height, jnp.nan)

@@ -165,3 +165,35 @@ def test_gabor_bank_shape_and_response():
     resp = np.asarray(filter_bank_2d(jnp.asarray(img), bank))
     energy = np.abs(resp).mean(axis=(1, 2))
     assert energy.argmax() < 4  # one of the theta=0 filters
+
+
+def test_masked_quantile_grid_accuracy(rng):
+    """Two-stage grid quantile vs exact numpy, several q and distributions."""
+    from pcmi_tpu.ops.normalize import masked_quantile_grid
+
+    for dist in ("uniform", "normal", "lognormal"):
+        x = getattr(rng, dist)(size=(128, 256)).astype(np.float32)
+        mask = rng.uniform(size=x.shape) > 0.25
+        lo, hi = float(x[mask].min()), float(x[mask].max())
+        for q in (0.02, 0.5, 0.98):
+            got = float(masked_quantile_grid(
+                jnp.asarray(x), jnp.asarray(mask), lo, hi, q))
+            exact = float(np.quantile(x[mask], q))
+            # resolution (hi-lo)/64**2 plus interpolation slack
+            assert abs(got - exact) <= (hi - lo) / 64**2 + 5e-3 * (hi - lo), (
+                dist, q, got, exact)
+
+
+def test_masked_quantile_grid_degenerate():
+    from pcmi_tpu.ops.normalize import masked_quantile_grid
+
+    # constant data: every quantile is the constant
+    x = jnp.full((32, 32), 7.5)
+    m = jnp.ones((32, 32), bool)
+    assert abs(float(masked_quantile_grid(x, m, 7.5, 7.5, 0.5)) - 7.5) < 1e-5
+    # heavy ties at the minimum: median = min
+    x2 = np.full((64, 64), 1.0, np.float32)
+    x2[:8] = 5.0
+    got = float(masked_quantile_grid(jnp.asarray(x2), m.repeat(2, 0).repeat(2, 1),
+                                     1.0, 5.0, 0.5))
+    assert abs(got - 1.0) < (5.0 - 1.0) / 64
