@@ -272,9 +272,11 @@ def grid_fuse(
     TPU-shaped: per-cell statistics come from one sort by cell id plus
     segmented scans (:mod:`pcmi_tpu.ops.segmented` — random-access
     scatter/gather runs ~5x slower than streaming sort+scan on TPU); the
-    only scatters are the two packed ``segment_sum`` grid writes.
+    only scatter is the cell-sized compacted grid write
+    (:func:`pcmi_tpu.ops.segmented.grid_segment_sums`).
     """
     from pcmi_tpu.ops.segmented import (
+        grid_segment_sums,
         segment_totals_at_points,
         sort_by_segment,
     )
@@ -300,9 +302,8 @@ def grid_fuse(
 
     # robust second pass: reject samples far from their cell mean
     keep = w * (jnp.abs(v - mean_p) <= robust_sigma * std_p + 1e-6)
-    packed = jax.ops.segment_sum(
-        jnp.stack([w, w * v, keep, keep * v], axis=-1), ids,
-        num_segments=num)
+    packed = grid_segment_sums(ids, boundary, (w, w * v, keep, keep * v),
+                               num)
     wsum, vsum, wsum2, vsum2 = (packed[:, k] for k in range(4))
     mean = vsum / jnp.maximum(wsum, 1e-12)
     use2 = wsum2 > 0

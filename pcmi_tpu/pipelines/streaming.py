@@ -75,8 +75,9 @@ def dsm_update(
     segmented scans (:mod:`pcmi_tpu.ops.segmented`) instead of per-round
     scatter/gather — random access runs at ~140 M elem/s on TPU vs
     ~730 M elem/s streaming, which made the gather formulation ~7x slower
-    end to end. One packed 3-payload ``segment_sum`` does the final grid
-    write.
+    end to end. The final grid write compacts per-segment totals to one
+    row per CELL before scattering (:func:`grid_segment_sums`), so the
+    random-access cost is cell-sized, not point-sized.
     """
     ny, nx = shape
     gx = jnp.floor((xy[..., 0] - origin[0]) / cell).astype(jnp.int32)
@@ -87,15 +88,23 @@ def dsm_update(
     v = values.reshape(-1).astype(jnp.float32)
     num = ny * nx
 
-    if robust_sigma > 0:
-        from pcmi_tpu.ops.segmented import robust_sigma_gate, sort_by_segment
+    from pcmi_tpu.ops.segmented import (
+        grid_segment_sums,
+        robust_sigma_gate,
+        sort_by_segment,
+    )
 
-        ids, v, w, boundary = sort_by_segment(ids, v, w)
+    ids, v, w, boundary = sort_by_segment(ids, v, w)
+    if robust_sigma > 0:
         w = robust_sigma_gate(boundary, v, w, robust_sigma,
                               rounds=robust_rounds)
-
-    packed = jax.ops.segment_sum(
-        jnp.stack([w, w * v, w * v * v], axis=-1), ids, num)
+    # zero-weight rows may carry arbitrary values (out-of-bounds points,
+    # invalid pixels riding along under static shapes) — neutralise them
+    # so the blocked run sums stay finite (see segment_totals_at_points)
+    v = jnp.where(w > 0, v, 0.0)
+    # cell-sized compacted scatter instead of the point-sized segment_sum
+    # (measured 18.5 -> ~4 ms at 1.18 M points / 65 k cells on-chip)
+    packed = grid_segment_sums(ids, boundary, (w, w * v, w * v * v), num)
     return StreamingDSM(
         wsum=acc.wsum + packed[:, 0].reshape(ny, nx),
         vsum=acc.vsum + packed[:, 1].reshape(ny, nx),

@@ -159,3 +159,54 @@ def test_icp_survives_gross_outliers(rng):
     err = np.linalg.norm(moved - pts[n_out:], axis=1)
     assert np.median(err) < 0.3, f"median reg error {np.median(err):.3f}"
     assert float(res.rmse) < 1.0
+
+
+def test_grid_segment_sums_matches_segment_sum():
+    """Compacted cell-sized scatter == point-sized segment_sum (f32 slack)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcmi_tpu.ops.segmented import grid_segment_sums, sort_by_segment
+
+    rng = np.random.default_rng(7)
+    n, num = 50_000, 1024
+    ids = jnp.asarray(rng.integers(0, num, n).astype(np.int32))
+    v = jnp.asarray(rng.normal(10.0, 30.0, n).astype(np.float32))
+    w = jnp.asarray((rng.uniform(size=n) > 0.3).astype(np.float32))
+
+    ids_s, v_s, w_s, bnd = sort_by_segment(ids, v, w)
+    got = np.asarray(grid_segment_sums(
+        ids_s, bnd, (w_s, w_s * v_s, w_s * v_s * v_s), num))
+    iN, vN, wN = (np.asarray(a, np.float64) for a in (ids_s, v_s, w_s))
+    ref = np.zeros((num, 3))
+    for col, data in enumerate((wN, wN * vN, wN * vN * vN)):
+        np.add.at(ref[:, col], iN.astype(int), data)
+    # error bound of the blocked run sums: ~f32 eps x the in-block cumsum
+    # magnitude (16384-point blocks) of the min-SHIFTED payload (signed
+    # payloads are made non-negative by their global min inside
+    # segment_totals_at_points, which inflates the running magnitude) —
+    # see ops/segmented.py _LANES. At DSM scales (heights ≤ ~50 m,
+    # 0/1 weights) this bound is ~0.1 on cell sums ⇒ ~1 cm on cell means.
+    for col, data in enumerate((wN, wN * vN, wN * vN * vN)):
+        shifted_mean = (data - min(data.min(), 0.0)).mean()
+        bound = 1.5e-7 * 16384 * shifted_mean + 1e-3
+        np.testing.assert_allclose(got[:, col], ref[:, col], atol=bound,
+                                   rtol=1e-4)
+    # empty cells stay exactly zero
+    empty = ref[:, 0] == 0
+    assert np.all(got[empty] == 0.0)
+
+
+def test_grid_segment_sums_more_cells_than_points():
+    import jax.numpy as jnp
+
+    from pcmi_tpu.ops.segmented import grid_segment_sums, sort_by_segment
+
+    ids = jnp.asarray(np.array([5, 5, 900, 2], np.int32))
+    v = jnp.asarray(np.array([1.0, 2.0, 4.0, 8.0], np.float32))
+    w = jnp.ones((4,), jnp.float32)
+    ids_s, v_s, w_s, bnd = sort_by_segment(ids, v, w)
+    out = np.asarray(grid_segment_sums(ids_s, bnd, (w_s, w_s * v_s), 1024))
+    assert out[5, 0] == 2.0 and out[5, 1] == 3.0
+    assert out[900, 1] == 4.0 and out[2, 1] == 8.0
+    assert out.sum() == 4.0 + 15.0
