@@ -610,9 +610,19 @@ def _bench_stages(r1, r2, M, b, cfg, k: int = 6):
             float(rep())
             best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
         dt = best / k
+        total_ms += dt * 1e3
+        if dt < 50e-6:
+            # below the RTT-subtraction noise floor: the stage fused to
+            # (near) nothing in isolation; a utilization ratio against a
+            # garbage denominator would be meaningless
+            out[label] = {
+                "ms": round(dt * 1e3, 3),
+                "est_gb": round(est_bytes / 1e9, 3),
+                "bound": "sub-noise",
+            }
+            continue
         bw = est_bytes / dt / PEAK_HBM_B_S
         alu = est_ops / dt / PEAK_VPU_OP_S
-        total_ms += dt * 1e3
         out[label] = {
             "ms": round(dt * 1e3, 3),
             "est_gb": round(est_bytes / 1e9, 3),
@@ -919,6 +929,57 @@ def _bench_d288():
         "mean_completeness": round(
             float(np.mean([c for _, c in dense_stats])), 4),
     }
+
+    # --- fused-pipeline throughput: what the production multi-date answer
+    # actually costs per pair = dense pair core + robust DSM update (the
+    # cross-pair median finalisation is one pass over P pairs' grids,
+    # amortised to noise). Timed with the same k-rep scan discipline. ---
+    g0 = geoms[0]
+    rd1, rd2 = _rectify_pair(
+        scene.images[pairs[0][0]], scene.images[pairs[0][1]],
+        jnp.asarray(g0.H1, jnp.float32), jnp.asarray(g0.H2, jnp.float32),
+        g0.out_shape,
+    )
+    Md, bd = triangulation_operator(g0)
+    dt_dense, prod_d = _device_time_per_frame(
+        pair_core, rd1, rd2, Md, bd, scfg_d, k=5)
+    hd, wd = g0.out_shape
+    xyz0 = jnp.asarray(np.asarray(prod_d[1]).reshape(-1, 3))
+    wgt0 = jnp.asarray(np.asarray(prod_d[2]).reshape(-1).astype(np.float32))
+    acc00 = StreamingDSM(wsum=jnp.zeros((ny, nx)), vsum=jnp.zeros((ny, nx)),
+                         vsq=jnp.zeros((ny, nx)))
+    import time as _time
+
+    ku = 6
+
+    @jax.jit
+    def upd_rep():
+        def body(c, _):
+            a = dsm_update(acc00, xyz0[:, :2] + c * 1e-20, xyz0[:, 2], wgt0,
+                           (ox, oy), cell, (ny, nx), robust_sigma=3.0)
+            return c + jnp.sum(a.wsum), None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ku)
+        return c
+
+    float(upd_rep())  # compile + warm
+    rtt_probe = jax.jit(lambda: jnp.float32(1.0))
+    float(rtt_probe())
+    t0u = _time.perf_counter()
+    float(rtt_probe())
+    rtt_u = _time.perf_counter() - t0u
+    best_up = float("inf")
+    for _ in range(2):
+        t0u = _time.perf_counter()
+        float(upd_rep())
+        best_up = min(best_up,
+                      max(_time.perf_counter() - t0u - rtt_u, 1e-9))
+    best_up /= ku
+    out["fused_pipeline"] = {
+        "pair_core_ms": round(dt_dense * 1e3, 2),
+        "dsm_update_ms": round(best_up * 1e3, 2),
+        "mpix_s": round(hd * wd / (dt_dense + best_up) / 1e6, 3),
+    }
+
     dsm, _cnt, _np_ = dsm_finalize_multi(accs, min_pairs=3)
     gxc = (np.arange(nx) + 0.5) * cell / scene.ground_gsd
     gyc = (np.arange(ny) + 0.5) * cell / scene.ground_gsd

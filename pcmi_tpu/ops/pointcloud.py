@@ -15,7 +15,7 @@ advertised capability is implemented for real, TPU-first:
 * kNN             — brute-force chunked distance matmuls + ``lax.top_k``;
                     no KD-tree (trees are pointer-chasing, hostile to the
                     vector unit; a (N x N) tiled matmul saturates the MXU).
-* gridding        — DSM rasterisation via ``segment_sum`` scatter-means with
+* gridding        — DSM rasterisation via sort-segmented cell sums with
                     an optional robust re-pass (MAD rejection).
 * ICP             — cross-date registration: chunked NN correspondence +
                     closed-form rigid/translation update per iteration.
