@@ -470,14 +470,45 @@ def compute_disparity(
                               row_shift=row_shift,
                               row_shift_pad=row_shift_pad,
                               row_shift_chunk=row_shift_chunk)
+    use_pallas = cfg.sgm_backend == "pallas" or (
+        cfg.sgm_backend == "auto" and jax.default_backend() == "tpu")
+    disp_r = None
+    left_fused = None
     if aggregation == "sgm":
-        agg_l = sgm_aggregate(vol_l, cfg)
+        if use_pallas and cfg.right_sgm != "derived":
+            # fused 4-path SGM + WTA: the combined aggregate is never
+            # materialized (see pallas_kernels.sgm4_wta_fused_pallas);
+            # skipped for right_sgm="derived", whose right view needs agg_l
+            from pcmi_tpu.ops.stereo.pallas_kernels import (
+                sgm4_wta_fused_pallas,
+            )
+
+            left_fused = sgm4_wta_fused_pallas(
+                vol_l, cfg.sgm_p1, cfg.sgm_p2, cfg.min_disparity,
+                stride=stride)
+            agg_l = None
+        else:
+            agg_l = sgm_aggregate(vol_l, cfg)
         if cfg.right_sgm == "derived":
             # single-volume L/R: shift the aggregated left volume into the
             # right frame instead of paying a second full SGM (see
             # StereoConfig.right_sgm)
             agg_r = derive_right_volume(agg_l, cfg.min_disparity, fill=1e4,
                                         stride=stride)
+        elif cfg.right_sgm == "horizontal" and not cfg.right_subpixel \
+                and use_pallas:
+            # fully fused right view: derive -> 2-path SGM -> streaming
+            # sum+argmin, no materialized right aggregate, no WTA pass
+            # (bit-parity with the unfused chain; see
+            # pallas_kernels.right_disparity_fused_pallas)
+            from pcmi_tpu.ops.stereo.pallas_kernels import (
+                right_disparity_fused_pallas,
+            )
+
+            disp_r = right_disparity_fused_pallas(
+                vol_l, cfg.sgm_p1, cfg.sgm_p2, cfg.min_disparity,
+                stride=stride)
+            agg_r = None
         else:
             agg_r = sgm_aggregate(
                 derive_right_volume(vol_l, cfg.min_disparity, stride=stride),
@@ -485,10 +516,15 @@ def compute_disparity(
     else:
         agg_l = vol_l
         agg_r = derive_right_volume(vol_l, cfg.min_disparity, stride=stride)
-    disp_l, cost_l, margin = wta_disparity(agg_l, cfg.min_disparity,
-                                           with_margin=True, stride=stride)
-    disp_r, _ = wta_disparity(agg_r, cfg.min_disparity,
-                              subpixel=cfg.right_subpixel, stride=stride)
+    if left_fused is not None:
+        disp_l, cost_l, margin = left_fused
+    else:
+        disp_l, cost_l, margin = wta_disparity(agg_l, cfg.min_disparity,
+                                               with_margin=True,
+                                               stride=stride)
+    if disp_r is None:
+        disp_r, _ = wta_disparity(agg_r, cfg.min_disparity,
+                                  subpixel=cfg.right_subpixel, stride=stride)
 
     ok = lr_consistency(disp_l, disp_r, cfg.lr_threshold_eff,
                         d_min=cfg.min_disparity,

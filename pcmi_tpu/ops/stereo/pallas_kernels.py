@@ -705,3 +705,229 @@ def derive_right_pallas(vol: jnp.ndarray, d_min: int, fill: float = 1.0,
         interpret=_interpret(),
     )(volp)
     return out[:, :h, :]
+
+
+# ---------------------------------------------------------------------------
+# Fused right-view disparity: derive -> 2-path horizontal SGM -> argmin,
+# without materializing the summed aggregate or paying a separate WTA pass
+# ---------------------------------------------------------------------------
+
+
+def _make_wta2_kernel(d_min: float, stride: float):
+    """Sum two directional aggregates and argmin over D in one stream.
+
+    Blocks are (chunk, Dp, band) slices of the (S, Dp, B) scan-layout
+    volumes; the bf16 add matches the XLA ``lr + rl`` exactly (the
+    ``* 0.5`` the two-path mean applies is an exponent shift — argmin
+    invariant — so it is skipped). Tie-break: lowest disparity index,
+    identical to ``jnp.argmin``.
+    """
+
+    def kernel(a_ref, b_ref, o_ref):
+        s = (a_ref[...] + b_ref[...]).astype(jnp.float32)  # (chunk, Dp, band)
+        m = jnp.min(s, axis=1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        idx = jnp.min(jnp.where(s == m[:, None, :], iota, 2 ** 30), axis=1)
+        o_ref[...] = d_min + stride * idx.astype(jnp.float32)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("p1", "p2", "d_min", "stride", "fill",
+                                   "band", "chunk"))
+def right_disparity_fused_pallas(
+    vol_dhw: jnp.ndarray,
+    p1: float,
+    p2: float,
+    d_min: int,
+    stride: int = 1,
+    fill: float = 1.0,
+    band: int = 128,
+    chunk: int | None = None,
+) -> jnp.ndarray:
+    """Right-view integer disparity straight from the LEFT cost volume.
+
+    Fuses the ``right_sgm="horizontal"`` chain (``matching.compute_disparity``):
+    ``derive_right_volume`` -> 2-path horizontal SGM -> integer WTA. The
+    separate chain pays: the volume add (read lr + read rl + write), the
+    (S, D, B) -> (D, H, W) relayout of the sum, and a full-volume WTA read.
+    Here the two directional aggregates feed a streaming sum+argmin kernel
+    in their native scan layout, so those five full-volume passes collapse
+    into one double-read emitting only the (H, W) disparity plane.
+
+    Bit-parity with the unfused chain (same derive kernel, same direction
+    kernels, bf16 add order preserved, argmin tie-break = lowest index).
+    """
+    volr = derive_right_pallas(vol_dhw, d_min, fill=fill, stride=stride)
+    d, h, w = volr.shape
+    sub = 16 if volr.dtype == jnp.bfloat16 else 8
+    dp = int(np.ceil(d / sub) * sub)
+    if chunk is None:
+        esize = 2 if volr.dtype == jnp.bfloat16 else 4
+        chunk = 8
+        while chunk < 64 and 4 * (2 * chunk) * dp * band * esize <= 12e6:
+            chunk *= 2
+    gran = int(np.lcm(band, chunk))
+    hp = int(np.ceil(h / gran) * gran)
+    wp = int(np.ceil(w / gran) * gran)
+    vol = jnp.pad(volr, ((0, dp - d), (0, 0), (0, 0)), constant_values=BIG)
+    vol = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w)))
+    vol_h = jnp.transpose(vol, (2, 0, 1))  # (W, D, H): scan cols
+    lr = _dir_call_sub(vol_h, False, band, chunk, p1, p2)
+    rl = _dir_call_sub(vol_h, True, band, chunk, p1, p2)
+
+    # WTA stream blocking under the Pallas TPU block rule (trailing block
+    # dims 8/128-divisible or equal to the array's): W-chunk of 8 keeps
+    # the (wc, hb) OUT block legal; the H-block is the largest divisor of
+    # Hp that is 128-aligned (or all of Hp) and fits the VMEM pipeline
+    # budget — 2 input streams x 2 slots per block, the out block is tiny
+    esize = 2 if volr.dtype == jnp.bfloat16 else 4
+    wc = 8
+    hb = hp
+    for cand in (hp // k for k in range(1, hp // 128 + 1)):
+        if hp % cand == 0 and cand % 128 == 0 \
+                and 4 * wc * dp * cand * esize <= 12e6:
+            hb = cand
+            break
+    disp = pl.pallas_call(
+        _make_wta2_kernel(float(d_min), float(stride)),
+        out_shape=jax.ShapeDtypeStruct((wp, hp), jnp.float32),
+        grid=(wp // wc, hp // hb),
+        in_specs=[
+            pl.BlockSpec((wc, dp, hb), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wc, dp, hb), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wc, hb), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(lr, rl)
+    return disp[:w, :h].T
+
+
+# ---------------------------------------------------------------------------
+# Fused LEFT view: 4-path SGM -> (disp, best, margin) without materializing
+# the combined aggregate
+# ---------------------------------------------------------------------------
+
+
+def _make_wta3_kernel(d_min: float, stride: float, subpixel: bool):
+    """Three-stream sum + full WTA (disp/best/margin/parabola) per block.
+
+    Inputs are the two horizontal directional aggregates in their native
+    (S=W, Dp, B=H) scan layout plus the pre-summed vertical aggregate
+    relayouted to match; the bf16 grouping ``(vert + (lr + rl)) * 0.25``
+    reproduces ``sgm_aggregate``'s combine exactly, and the reduction
+    semantics (ties -> lowest d, boundary parabola gating, >1-px-away
+    margin) match ``wta_fused_pallas`` / the XLA ``wta_disparity``.
+    """
+
+    def kernel(a_ref, b_ref, v_ref, disp_ref, best_ref, marg_ref):
+        wc = a_ref.shape[0]
+
+        def one(x, _):
+            hsum = a_ref[x] + b_ref[x]            # bf16 add, parity
+            s = ((v_ref[x] + hsum) * 0.25).astype(jnp.float32)  # (Dp, B)
+            m = jnp.min(s, axis=0)
+            iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            idx = jnp.min(jnp.where(s == m[None, :], iota, 2 ** 30), axis=0)
+            idxf = idx.astype(jnp.float32)
+            if subpixel:
+                n = s.shape[0]
+                lanes = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                up = jnp.where(lanes == 0, BIG, pltpu.roll(s, 1, axis=0))
+                dn = jnp.where(lanes == n - 1, BIG,
+                               pltpu.roll(s, n - 1, axis=0))
+                sel = iota == idx[None, :]
+                prevv = jnp.min(jnp.where(sel, up, BIG), axis=0)
+                nextv = jnp.min(jnp.where(sel, dn, BIG), axis=0)
+                denom = prevv + nextv - 2.0 * m
+                ok = (prevv < 0.5 * BIG) & (nextv < 0.5 * BIG) & (denom > 1e-9)
+                off = jnp.where(
+                    ok, 0.5 * (prevv - nextv) / jnp.maximum(denom, 1e-9), 0.0)
+                off = jnp.clip(off, -1.0, 1.0)
+            else:
+                off = 0.0
+            disp_ref[x] = d_min + stride * (idxf + off)
+            best_ref[x] = m
+            away = jnp.abs(iota - idx[None, :]) > 1
+            marg_ref[x] = jnp.min(jnp.where(away, s, BIG), axis=0) - m
+            return 0
+
+        jax.lax.fori_loop(0, wc, one, 0, unroll=True)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("p1", "p2", "d_min", "stride", "subpixel",
+                                   "band", "chunk"))
+def sgm4_wta_fused_pallas(
+    vol_dhw: jnp.ndarray,
+    p1: float,
+    p2: float,
+    d_min: int,
+    stride: int = 1,
+    subpixel: bool = True,
+    band: int = 128,
+    chunk: int | None = None,
+):
+    """(disp, best, margin) from a raw (D, H, W) cost volume: 4-path SGM
+    plus WTA with the combine fused away.
+
+    The separate chain (``sgm_aggregate`` + ``wta_disparity``) pays, after
+    the four directional kernels: two directional adds, two full-volume
+    relayouts back to (D, H, W), the 4-way mean, and the WTA's streaming
+    read — ~7 extra full-volume passes. Here the vertical pair is summed
+    and relayouted in ONE XLA op (2 reads + 1 transposed write) and a
+    three-stream Pallas kernel performs the remaining combine + WTA in
+    registers, emitting only the (H, W) planes.
+
+    Bit-parity with the unfused chain: same direction kernels, bf16 add
+    grouping ``(vert + horiz) * 0.25`` preserved, tie-break and margin
+    semantics identical to ``wta_fused_pallas``.
+    """
+    d, h, w = vol_dhw.shape
+    sub = 16 if vol_dhw.dtype == jnp.bfloat16 else 8
+    dp = int(np.ceil(d / sub) * sub)
+    if chunk is None:
+        esize = 2 if vol_dhw.dtype == jnp.bfloat16 else 4
+        chunk = 8
+        while chunk < 64 and 4 * (2 * chunk) * dp * band * esize <= 12e6:
+            chunk *= 2
+    gran = int(np.lcm(band, chunk))
+    hp = int(np.ceil(h / gran) * gran)
+    wp = int(np.ceil(w / gran) * gran)
+    vol = jnp.pad(vol_dhw, ((0, dp - d), (0, 0), (0, 0)), constant_values=BIG)
+    vol = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    vol_h = jnp.transpose(vol, (2, 0, 1))      # (W, D, H): scan cols
+    lr = _dir_call_sub(vol_h, False, band, chunk, p1, p2)
+    rl = _dir_call_sub(vol_h, True, band, chunk, p1, p2)
+    vol_v = jnp.swapaxes(vol, 0, 1)            # (H, D, W): scan rows
+    tb = _dir_call_sub(vol_v, False, band, chunk, p1, p2)
+    bt = _dir_call_sub(vol_v, True, band, chunk, p1, p2)
+    vert = jnp.transpose(tb + bt, (2, 1, 0))   # one add + one relayout
+
+    esize = 2 if vol_dhw.dtype == jnp.bfloat16 else 4
+    wc = 8
+    hb = hp
+    for cand in (hp // k for k in range(1, hp // 128 + 1)):
+        if hp % cand == 0 and cand % 128 == 0 \
+                and 6 * wc * dp * cand * esize <= 12e6:
+            hb = cand
+            break
+    kernel = _make_wta3_kernel(float(d_min), float(stride), bool(subpixel))
+    spec = pl.BlockSpec((wc, dp, hb), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((wc, hb), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    disp, best, marg = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((wp, hp), jnp.float32)] * 3,
+        grid=(wp // wc, hp // hb),
+        in_specs=[spec, spec, spec],
+        out_specs=[ospec] * 3,
+        interpret=_interpret(),
+    )(lr, rl, vert)
+    return disp[:w, :h].T, best[:w, :h].T, marg[:w, :h].T

@@ -114,3 +114,34 @@ def test_derive_right_pallas_parity(rng):
                              pad + d_min + i * stride + w]
                         for i in range(D)])
         np.testing.assert_array_equal(got, ref)
+
+
+def test_right_disparity_fused_parity(rng):
+    """Fused derive->2-path-SGM->argmin == the unfused chain, exactly.
+
+    The fused kernel replaces ``sgm_aggregate(derive_right_volume(...),
+    dirs="h")`` + integer WTA inside ``compute_disparity``; its contract
+    is bit-parity (same derive, same direction kernels, bf16-faithful
+    add, argmin tie-break = lowest index)."""
+    import jax.numpy as jnp
+
+    from pcmi_tpu.ops.stereo.matching import (
+        derive_right_volume,
+        sgm_aggregate,
+        wta_disparity,
+    )
+    from pcmi_tpu.ops.stereo.pallas_kernels import right_disparity_fused_pallas
+
+    cfg = StereoConfig(max_disp=16, sgm_backend="xla")
+    for (d, h, w), stride in [((16, 24, 40), 1), ((16, 19, 33), 2)]:
+        vol = jnp.asarray(rng.uniform(0, 1, (d, h, w)).astype(np.float32))
+        agg = sgm_aggregate(
+            derive_right_volume(vol, cfg.min_disparity, stride=stride),
+            cfg, dirs="h")
+        ref, _ = wta_disparity(agg, cfg.min_disparity, subpixel=False,
+                               stride=stride, backend="xla")
+        got = right_disparity_fused_pallas(
+            vol, cfg.sgm_p1, cfg.sgm_p2, cfg.min_disparity, stride=stride,
+            band=8, chunk=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
