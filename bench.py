@@ -1,6 +1,6 @@
 """Benchmark: stereo→height throughput on the flagship pipeline.
 
-Prints ONE JSON line:
+Prints the ONE JSON line the driver parses:
   {"metric": ..., "value": N, "unit": "Mpix/s/chip", "vs_baseline": N}
 
 ``value``        — warm throughput of the jitted per-pair core
@@ -14,15 +14,53 @@ Prints ONE JSON line:
                    PINNED to a documented quiet-rig measurement
                    (PINNED_CPU_MPIX_S below; the per-run measurement is
                    reported alongside for drift visibility).
+
+Driver-capture contract (round-4 lesson — BENCH_r04.json was rc=124 with
+zero parseable output because the old bench printed its single line only
+after 35 minutes of remote compiles):
+
+* The HEADLINE line (value / vs_baseline / rmse / gates) is printed and
+  flushed immediately after the first D=80 core measurement — a timeout
+  at any later point still leaves a parseable record on stdout.
+* Every enrichment section (d288 / fusion / families / stages) is guarded
+  by the remaining time budget and its own try/except; a failed or
+  skipped section becomes a note in the JSON, never a dead run.
+* A watchdog thread enforces a global deadline (PCMI_BENCH_DEADLINE
+  seconds, default 840): at the deadline it prints the best result built
+  so far as a final valid JSON line and exits 0. A thread (not SIGALRM)
+  so a wedged remote-compile RPC cannot defer it.
+* Compilations inside a section are overlapped (jit(...).lower().compile()
+  on a small thread pool): the remote compile service is latency-bound,
+  not throughput-bound, and the persistent .jax_cache is NOT consulted by
+  the remote-compile path (measured round 4), so overlap is the only
+  lever on compile wall time.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+_T0 = time.monotonic()
+_RESULT: dict | None = None   # swapped atomically with COMPLETE dicts
+_FINAL_EMITTED = False
+
+
+def _deadline_s() -> float:
+    return float(os.environ.get("PCMI_BENCH_DEADLINE", 840.0))
+
+
+def _remaining() -> float:
+    return _deadline_s() - (time.monotonic() - _T0)
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
 
 
 def _fail_line(msg: str) -> None:
@@ -33,14 +71,48 @@ def _fail_line(msg: str) -> None:
     work didn't happen. On any failure the driver must still get ONE
     parseable JSON line.
     """
-    print(json.dumps({
+    _emit({
         "metric": "stereo_to_height_throughput",
         "value": None,
         "unit": "Mpix/s/chip",
         "vs_baseline": None,
         "error": msg[:500],
-    }))
+    })
     sys.exit(0)
+
+
+def _start_watchdog() -> None:
+    """Deadline enforcement that works even when the main thread is stuck
+    inside a blocking backend call (remote compile RPCs release the GIL)."""
+
+    def run():
+        while True:
+            rem = _remaining()
+            if rem <= 0:
+                break
+            time.sleep(min(rem, 2.0))
+        if _FINAL_EMITTED:
+            return
+        res = _RESULT
+        if res is not None:
+            res = dict(res)
+            det = dict(res.get("detail", {}))
+            det["watchdog_cut"] = True
+            det["elapsed_s"] = round(time.monotonic() - _T0, 1)
+            res["detail"] = det
+            _emit(res)
+        else:
+            _emit({
+                "metric": "stereo_to_height_throughput",
+                "value": None,
+                "unit": "Mpix/s/chip",
+                "vs_baseline": None,
+                "error": f"watchdog deadline ({_deadline_s():.0f}s) before "
+                         "the headline measurement completed",
+            })
+        os._exit(0)
+
+    threading.Thread(target=run, daemon=True, name="bench-watchdog").start()
 
 
 def _probe_backend(timeout_s: float = None, retries: int = None) -> str:
@@ -51,7 +123,6 @@ def _probe_backend(timeout_s: float = None, retries: int = None) -> str:
     process: probe in a child bounded by ``timeout_s``. Returns the device
     string on success; raises RuntimeError after all retries fail.
     """
-    import os
     import subprocess
 
     if timeout_s is None:
@@ -157,8 +228,6 @@ def _cpu_pin_workload():
 
 def cpu_pin():
     """Re-measure the pinned CPU denominator (two median-of-9 batches)."""
-    import os
-
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     l_np, r_np, v_np, scfg = _cpu_pin_workload()
     vals = [
@@ -178,25 +247,124 @@ def main():
     if "--cpu-pin" in sys.argv:
         cpu_pin()
         return
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+    _start_watchdog()
     try:
         device_str = _probe_backend()
     except RuntimeError as e:
         _fail_line(str(e))
     try:
-        _run_bench(device_str)
+        _run_bench(device_str, only=only)
     except Exception as e:  # noqa: BLE001 — one parseable line, always
-        _fail_line(f"{type(e).__name__}: {e}")
+        global _FINAL_EMITTED
+        if _RESULT is not None:
+            res = dict(_RESULT)
+            det = dict(res.get("detail", {}))
+            det["late_error"] = f"{type(e).__name__}: {e}"[:500]
+            res["detail"] = det
+            _FINAL_EMITTED = True
+            _emit(res)
+        else:
+            _fail_line(f"{type(e).__name__}: {e}")
 
 
-def _run_bench(device_str: str):
-    import os
+def _aot_compile(thunks: dict):
+    """Compile jitted thunks concurrently; returns {name: compiled}.
+
+    The remote compile service this rig routes TPU compiles through is
+    latency-bound (round-4 measurement: 35 min wall, 77 s user CPU for
+    one bench run) and ignores the persistent cache, so overlapping the
+    compile RPCs is the main lever on bench wall time. Each thunk is
+    ``(fn, example_args)``; compiled objects are invoked with the same
+    argument structure.
+    """
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = int(os.environ.get("PCMI_BENCH_COMPILE_WORKERS", 4))
+
+    def one(item):
+        fn, args = item
+        return jax.jit(fn).lower(*args).compile()
+
+    out = {}
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = {k: ex.submit(one, v) for k, v in thunks.items()}
+        for k, f in futs.items():
+            out[k] = f.result()
+    return out
+
+
+def _measure_rtt():
+    """Fetch round-trip of the tunnelled transport (subtracted from timings)."""
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda: jnp.float32(1.0))
+    float(probe())
+    t0 = time.perf_counter()
+    float(probe())
+    return time.perf_counter() - t0
+
+
+def _make_rep(core, h, w, stereo_cfg, k: int):
+    """K in-graph repeats of pair_core inside one jittable function.
+
+    Synchronisation: on the tunnelled device transport block_until_ready
+    does NOT wait for execution and each dispatch pays a ~40 ms host
+    round-trip that would NOT exist on a directly-attached TPU. The
+    honest device-throughput measurement therefore runs K frames per
+    dispatch inside one jitted lax.scan (the production pattern: a
+    multi-date AOI streams pairs back to back through one executable),
+    fetches ONE scalar, subtracts the measured fetch round-trip, and
+    divides by K. The carry-dependent input perturbation (+carry*1e-20)
+    defeats CSE across scan iterations. The final iteration's product
+    rides along in the carry (no stacking) so accuracy metrics and the
+    dense-pair products reuse THIS executable — every avoided
+    compilation matters more than any runtime trim on this rig.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def rep(a, b_, M_, bb):
+        init_prod = (jnp.zeros((h, w)), jnp.zeros((h, w, 3)),
+                     jnp.zeros((h, w), bool))
+
+        def body(carry, _):
+            acc, _prev = carry
+            out = core(a + acc * 1e-20, b_, M_, bb, stereo_cfg)
+            return (acc + jnp.nansum(out.height),
+                    (out.height, out.xyz, out.valid)), None
+
+        (acc, prod), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), init_prod), None, length=k)
+        return acc, prod
+
+    return rep
+
+
+def _time_compiled(compiled, args, k: int, rtt: float, reps: int = 2):
+    """(seconds-per-frame, last product) for a compiled rep executable."""
+    best = float("inf")
+    prod = None
+    for _ in range(reps):  # best-of-N: the shared tunnel shows rare slow reps
+        t0 = time.perf_counter()
+        acc, prod = compiled(*args)
+        float(acc)
+        best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
+    return best / k, prod
+
+
+def _run_bench(device_str: str, only: str | None = None):
+    global _RESULT, _FINAL_EMITTED
 
     import jax
 
-    # persistent compilation cache: the bench compiles ~15 distinct
-    # executables (~20 of its ~34 wall minutes on a cold run); cached
-    # re-runs (e.g. the driver's capture after a self-run) are
-    # execution-dominated
+    # persistent compilation cache: does not help the remote-compile path
+    # (measured round 4: ~30 fresh entries written on a warm 650 MB cache)
+    # but keeps CPU-backend debug runs fast
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -234,18 +402,30 @@ def _run_bench(device_str: str):
     )
     M, b = triangulation_operator(geom)
 
-    # Synchronisation: on the tunnelled device transport block_until_ready
-    # does NOT wait for execution and each dispatch pays a ~40 ms host
-    # round-trip that would NOT exist on a directly-attached TPU. The
-    # honest device-throughput measurement therefore runs K frames per
-    # dispatch inside one jitted lax.scan (the production pattern: a
-    # multi-date AOI streams pairs back to back through one executable),
-    # fetches ONE scalar, subtracts the measured fetch round-trip, and
-    # divides by K. The carry-dependent input perturbation (+carry*1e-20)
-    # defeats CSE across scan iterations.
-    dt, prod = _device_time_per_frame(pair_core, r1, r2, M, b, stereo_cfg,
-                                      k=10)
+    # submit every known-big compile CONCURRENTLY before waiting on the
+    # headline: the remote compile service caches compiled HLO server-side
+    # (measured: a cache-hit recompile of the headline executable takes
+    # 15 s vs ~8 min cold), but on a cold server the misses overlap here
+    # instead of serialising across sections
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(
+        max_workers=int(os.environ.get("PCMI_BENCH_COMPILE_WORKERS", 6)))
+
     h, w = geom.out_shape
+    k_head = 10
+    rep = _make_rep(pair_core, h, w, stereo_cfg, k_head)
+    fut_head = pool.submit(
+        lambda: jax.jit(rep).lower(r1, r2, M, b).compile())
+    d288_prep = None
+    try:
+        d288_prep = _prepare_d288(pool)
+    except Exception as e:  # noqa: BLE001 — prep failure surfaces in section
+        d288_err = f"{type(e).__name__}: {e}"[:300]
+
+    compiled = fut_head.result()
+    rtt = _measure_rtt()
+    dt, prod = _time_compiled(compiled, (r1, r2, M, b), k_head, rtt)
     mpix_tpu = h * w / dt / 1e6
 
     # --- CPU NumPy reference: the same frozen workload as the pinned
@@ -276,22 +456,6 @@ def _run_bench(device_str: str):
     err = np.asarray(p_height)[m] - tt[m]
     rmse = float(np.sqrt(np.mean(err**2))) if m.any() else float("nan")
 
-    # --- Per-stage roofline accounting on the flagship workload ---
-    stages = _bench_stages(r1, r2, M, b, stereo_cfg)
-    stages["core_ms"] = round(dt * 1e3, 2)
-
-    # --- Reference disparity envelope: MAX_DISP=288 (ref constants.py:54-57)
-    # A steep-convergence fine-GSD scene whose geometry genuinely needs the
-    # full signed 288-px search (gain ≈ 5.3 px/m over 48 m of relief).
-    d288 = _bench_d288()
-
-    # --- Multi-day fusion throughput (BASELINE.json metric: points/sec) ---
-    fusion = _bench_fusion()
-
-    # --- Per-family accuracy sweep (VERDICT r2 item 2): every scene family
-    # must hold the ≤1 m gate with the production fast paths on ---
-    families = _bench_families()
-
     # Completeness: fraction of the OBSERVABLE canvas (pixels where both
     # rectified images carry data — the epipolar-rotated footprints cover
     # only ~30% of their padded bounding canvas) that yields a valid height.
@@ -300,77 +464,74 @@ def _run_bench(device_str: str):
     observable = (np.asarray(r1) >= 0) & (np.asarray(r2) >= 0)
     valid_fraction = float(valid.sum() / max(observable.sum(), 1))
 
-    result = {
-        "metric": "stereo_to_height_throughput",
-        "value": round(mpix_tpu, 3),
-        "unit": "Mpix/s/chip",
-        "vs_baseline": round(mpix_tpu / mpix_cpu, 2),
-        "detail": {
-            "canvas": [h, w],
-            "max_disp": stereo_cfg.max_disp,
-            "cpu_ref_mpix_s": round(mpix_cpu, 4),
-            "cpu_ref_mpix_s_measured": round(mpix_cpu_measured, 4),
-            "cpu_ref_pinned": True,
-            "height_rmse_m": round(rmse, 3),
-            "valid_fraction": round(valid_fraction, 4),
-            "canvas_valid_fraction": round(float(valid.mean()), 4),
-            "observable_fraction": round(float(observable.mean()), 4),
-            "gates": {
-                "rmse_le_1m": bool(rmse <= 1.0),
-                "valid_fraction_ge_0.5": bool(valid_fraction >= 0.5),
-            },
-            "stages": stages,
-            "d288": d288,
-            "fusion": fusion,
-            "families": families,
-            "device": str(jax.devices()[0]),
+    detail = {
+        "canvas": [h, w],
+        "max_disp": stereo_cfg.max_disp,
+        "cpu_ref_mpix_s": round(mpix_cpu, 4),
+        "cpu_ref_mpix_s_measured": round(mpix_cpu_measured, 4),
+        "cpu_ref_pinned": True,
+        "height_rmse_m": round(rmse, 3),
+        "valid_fraction": round(valid_fraction, 4),
+        "canvas_valid_fraction": round(float(valid.mean()), 4),
+        "observable_fraction": round(float(observable.mean()), 4),
+        "core_ms": round(dt * 1e3, 2),
+        "gates": {
+            "rmse_le_1m": bool(rmse <= 1.0),
+            "valid_fraction_ge_0.5": bool(valid_fraction >= 0.5),
         },
+        "device": device_str,
+        "headline_elapsed_s": round(time.monotonic() - _T0, 1),
     }
-    print(json.dumps(result))
 
+    def snapshot():
+        return {
+            "metric": "stereo_to_height_throughput",
+            "value": round(mpix_tpu, 3),
+            "unit": "Mpix/s/chip",
+            "vs_baseline": round(mpix_tpu / mpix_cpu, 2),
+            "detail": dict(detail),
+        }
 
-def _device_time_per_frame(core, r1, r2, M, b, stereo_cfg, k=10):
-    """(seconds-per-frame, last product) for pair_core, K in-graph repeats.
+    # EARLY HEADLINE EMIT: the driver's record survives any later timeout.
+    _RESULT = snapshot()
+    _emit(_RESULT)
 
-    The final iteration's product rides along in the scan carry (no
-    stacking), so the accuracy metrics reuse THIS compiled executable —
-    the remote compile service on this rig is slow and heavily shared, so
-    every avoided compilation matters more than any runtime trim.
-    """
-    import jax
-    import jax.numpy as jnp
+    # --- enrichment sections, each time-budgeted and fault-isolated ---
+    def run_d288():
+        if d288_prep is None:
+            return {"error": d288_err}
+        return _bench_d288(d288_prep, rtt)
 
-    h, w = r1.shape
+    sections = [
+        # (name, fn, minimum seconds of budget to even start)
+        ("d288", run_d288, 120.0),
+        ("fusion", lambda: _bench_fusion(rtt), 90.0),
+        ("families", lambda: _bench_families(), 150.0),
+        ("lowtex_fused", lambda: _bench_lowtex_fused(), 150.0),
+        ("stages", lambda: _bench_stages(r1, r2, M, b, stereo_cfg, rtt), 150.0),
+    ]
+    for name, fn, min_budget in sections:
+        if only is not None and name != only:
+            detail[name] = {"skipped": f"--only {only}"}
+            continue
+        rem = _remaining()
+        if rem < min_budget:
+            detail[name] = {"skipped": f"deadline: {rem:.0f}s left, "
+                                       f"needs ~{min_budget:.0f}s"}
+            _RESULT = snapshot()
+            continue
+        t_sec = time.monotonic()
+        try:
+            detail[name] = fn()
+        except Exception as e:  # noqa: BLE001 — isolate section failures
+            detail[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        if isinstance(detail[name], dict):
+            detail[name]["elapsed_s"] = round(time.monotonic() - t_sec, 1)
+        _RESULT = snapshot()
 
-    @jax.jit
-    def rep(a, b_, M_, bb):
-        init_prod = (jnp.zeros((h, w)), jnp.zeros((h, w, 3)),
-                     jnp.zeros((h, w), bool))
-
-        def body(carry, _):
-            acc, _prev = carry
-            out = core(a + acc * 1e-20, b_, M_, bb, stereo_cfg)
-            return (acc + jnp.nansum(out.height),
-                    (out.height, out.xyz, out.valid)), None
-
-        (acc, prod), _ = jax.lax.scan(
-            body, (jnp.float32(0.0), init_prod), None, length=k)
-        return acc, prod
-
-    float(rep(r1, r2, M, b)[0])  # compile + warm
-    rtt_probe = jax.jit(lambda: jnp.float32(1.0))
-    float(rtt_probe())
-    t0 = time.perf_counter()
-    float(rtt_probe())
-    rtt = time.perf_counter() - t0
-    best = float("inf")
-    prod = None
-    for _ in range(2):  # best-of-2: the shared tunnel shows rare slow reps
-        t0 = time.perf_counter()
-        acc, prod = rep(r1, r2, M, b)
-        float(acc)
-        best = min(best, max(time.perf_counter() - t0 - rtt, 1e-9))
-    return best / k, prod
+    detail["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    _FINAL_EMITTED = True
+    _emit(snapshot())
 
 
 # v5e (TPU v5 lite) per-chip ceilings for the roofline estimates below:
@@ -382,24 +543,23 @@ PEAK_HBM_B_S = 819e9
 PEAK_VPU_OP_S = 3.85e12
 
 
-def _bench_stages(r1, r2, M, b, cfg, k: int = 6):
+def _bench_stages(r1, r2, M, b, cfg, rtt, k: int = 6):
     """Per-stage device times + roofline utilization for the pair core.
 
-    VERDICT r3 item 7: makes "SGM is at its floor" falsifiable. Each stage
-    is timed as its own jitted k-rep scan (same fetch-RTT discipline as
-    the end-to-end number); ``bytes``/``ops`` are ESTIMATES from the
-    explicit traffic models in the code below (volume passes dominate, so
-    the models count volume-sized reads/writes and per-element arithmetic;
-    fixed per-pixel terms are ignored). ``bw_util``/``alu_util`` divide
-    achieved rates by the chip ceilings above; ``bound`` names the larger.
+    VERDICT r3 item 7 (falsifiable floors) + r4 item 4 (bw_util must be
+    ≤ 1): the table times the stages THE PIPELINE ACTUALLY RUNS on TPU —
+    the fused Pallas chains (``sgm4_wta_fused_pallas``,
+    ``right_disparity_fused_pallas``), not their unfused parts — and the
+    ``est_gb`` traffic model counts the full-volume HBM passes each fused
+    executable PERFORMS (documented per stage below), so ``bw_util`` is
+    the fraction of HBM peak the implementation achieves over its own
+    traffic. Headroom then reads directly as "reduce the pass count"
+    (model notes name the reducible passes). P-sized (D-independent)
+    stages are merged into two reps; their utilization is reported
+    against input+output traffic.
 
-    The table covers EVERY stage of ``pair_core`` — the six volume
-    kernels plus the per-pixel stages (normalise / validity margins /
-    band-recovery cross-checker / blunder gates / triangulate+plane
-    finalise). Stages are timed in isolation, so ``stages_sum_ms`` is an
-    upper bound on the fused whole-program ``core_ms`` (XLA overlaps and
-    fuses across stage boundaries in the real executable); the gap
-    between the two is the fusion/overlap dividend, not unaccounted work.
+    Stages are timed in isolation, so ``stages_sum_ms`` is an upper bound
+    on the fused whole-program ``core_ms``.
     """
     import jax
     import jax.numpy as jnp
@@ -407,101 +567,112 @@ def _bench_stages(r1, r2, M, b, cfg, k: int = 6):
     from pcmi_tpu.ops.morphology import binary_dilation
     from pcmi_tpu.ops.normalize import normalise_image
     from pcmi_tpu.ops.stereo.matching import (
+        DisparityResult,
         build_cost_volume,
-        derive_right_volume,
         lr_consistency,
         refine_disparity,
-        sgm_aggregate,
-        wta_disparity,
-        DisparityResult,
+    )
+    from pcmi_tpu.ops.stereo.pallas_kernels import (
+        right_disparity_fused_pallas,
+        sgm4_wta_fused_pallas,
     )
     from pcmi_tpu.pipelines.height_map import photoconsistency
 
-    mask1 = r1 >= 0
-    mask2 = r2 >= 0
-    n1, _ = normalise_image(r1, mask1, subsample=cfg.norm_subsample)
-    n2, _ = normalise_image(r2, mask2, subsample=cfg.norm_subsample)
-    v1 = mask1 & ~binary_dilation(~mask1, iterations=cfg.margin_undefined)
-    v2 = mask2 & ~binary_dilation(~mask2, iterations=cfg.margin_undefined)
-    h, w = n1.shape
+    h, w = r1.shape
     stride = cfg.disp_stride
     D = cfg.max_disp // stride          # volume slices actually built
     P = h * w
     bpe = 2 if jax.default_backend() == "tpu" else 4  # stored volume dtype
+    dmax = cfg.min_disparity + cfg.max_disp - 1
 
-    # precomputed stage inputs (once, not timed)
-    vol = jax.jit(lambda: build_cost_volume(n1, n2, v1, v2, cfg))()
-    agg = jax.jit(lambda: sgm_aggregate(vol, cfg))()
-    disp_l, cost_l, margin = jax.jit(
-        lambda: wta_disparity(agg, cfg.min_disparity, with_margin=True,
-                              stride=stride))()
-    agg_r = jax.jit(lambda: sgm_aggregate(
-        derive_right_volume(vol, cfg.min_disparity, stride=stride),
-        cfg, dirs="h"))()
-    disp_r, _ = jax.jit(
-        lambda: wta_disparity(agg_r, cfg.min_disparity, subpixel=False,
-                              stride=stride))()
-    res = DisparityResult(disparity=disp_l, valid=v1, cost=cost_l,
+    # stage inputs, computed by ONE jitted precompute (round-4 spent six
+    # separate compiles here; the remote compile service bills per
+    # executable, not per op)
+    def precompute(r1_, r2_):
+        mask1 = r1_ >= 0
+        mask2 = r2_ >= 0
+        n1, _ = normalise_image(r1_, mask1, subsample=cfg.norm_subsample)
+        n2, _ = normalise_image(r2_, mask2, subsample=cfg.norm_subsample)
+        v1 = mask1 & ~binary_dilation(~mask1, iterations=cfg.margin_undefined)
+        v2 = mask2 & ~binary_dilation(~mask2, iterations=cfg.margin_undefined)
+        vol = build_cost_volume(n1, n2, v1, v2, cfg)
+        disp_l, cost_l, margin = sgm4_wta_fused_pallas(
+            vol, cfg.sgm_p1, cfg.sgm_p2, cfg.min_disparity, stride=stride)
+        disp_r = right_disparity_fused_pallas(
+            vol, cfg.sgm_p1, cfg.sgm_p2, cfg.min_disparity, stride=stride)
+        photo = photoconsistency(n1, n2, disp_l, d_min=cfg.min_disparity,
+                                 d_max=dmax, stride=stride)
+        return n1, n2, v1, v2, vol, disp_l, cost_l, margin, disp_r, photo
+
+    pre = jax.jit(precompute).lower(r1, r2).compile()
+    (n1, n2, v1, v2, vol, disp_l, cost_l, margin, disp_r, photo) = pre(r1, r2)
+    jax.block_until_ready(vol)
+    mask1 = r1 >= 0
+    mask2 = r2 >= 0
+    ok0 = lr_consistency(disp_l, disp_r, cfg.lr_threshold_eff,
+                         cfg.min_disparity, dmax, stride=stride)
+    res = DisparityResult(disparity=disp_l, valid=ok0 & v1, cost=cost_l,
                           disparity_right=disp_r, margin=margin,
                           check_disparity=None)
-    jax.block_until_ready((agg, disp_r))
+    jax.block_until_ready(res.valid)
 
-    # (label, fn(eps)->reducible, est bytes, est ops) — traffic models:
-    dmax = cfg.min_disparity + cfg.max_disp - 1
+    DV = D * P * bpe  # one full-volume HBM pass, bytes
+
+    # (label, fn(eps)->reducible, est bytes, est ops, traffic note)
+    #
+    # Traffic-model discipline (VERDICT r4 item 4 — every bw_util ≤ 1):
+    # the disparity scans run with unroll=8 (matching._scan_unroll), and
+    # XLA's fusion of 8 unrolled steps reads the SHARED input planes once
+    # per group and keeps scan accumulators in registers across the group
+    # — both effects measured on-chip (a per-step model breaks util ≤ 1 by
+    # 1.2-3x; the amortised models below sit at 0.4-0.9). D-scan slice
+    # reads of one padded plane amortise the same way (consecutive
+    # disparities read 1-px-shifted windows whose union is ~one plane).
     stages = [
-        # per (d, px): read right/valid/census slices + left planes ~21 B,
-        # separable box ~2 f32 passes ~16 B, volume write bpe; ops: census
-        # hamming+mix ~17 + box 2*block adds
+        # per 8-step unroll group: input planes (right/valid/census-x2 +
+        # left side ≈ 25 B/px) once, box pass-2 intermediate (r+w f32),
+        # volume write bpe per step
         ("cost_volume",
          lambda e: build_cost_volume(n1 + e, n2, v1, v2, cfg),
-         D * P * (37 + bpe), D * P * (2 * cfg.block_size + 17)),
-        # 4 directional passes (read+write bpe each) + final 4-way sum;
-        # ops: ~8/elem/direction recurrence + 3 adds for the sum
-        ("sgm",
-         lambda e: sgm_aggregate(vol + e.astype(vol.dtype), cfg),
-         D * P * (4 * 2 * bpe + 5 * bpe), D * P * 35),
-        # fused single-pass WTA (read bpe; margin+parabola in-register)
-        ("wta",
-         lambda e: wta_disparity(agg + e.astype(agg.dtype),
-                                 cfg.min_disparity, with_margin=True,
-                                 stride=stride)[0],
-         D * P * bpe, D * P * 8),
-        # derive (read+write) + 2-path SGM + integer WTA on the right view
+         D * P * (25 / 8 + 8 + bpe), D * P * 60,
+         "in-planes amortised /8 + box pass + write; ops incl. partial "
+         "box recompute under fusion"),
+        # fused left: pad(r+w) + transposeH(r+w) + 2 h-kernels (r+w each) +
+        # swapaxesV(r+w) + 2 v-kernels (r+w each) + vert add/relayout
+        # (2r+1w) + WTA kernel (3 stream reads) = 18 volume passes.
+        # Reducible: the pad/relayout passes (6) — kernel variants reading
+        # the native (D, H, W) layout directly.
+        ("sgm_wta",
+         lambda e: sgm4_wta_fused_pallas(
+             vol + e.astype(vol.dtype), cfg.sgm_p1, cfg.sgm_p2,
+             cfg.min_disparity, stride=stride),
+         18 * DV, D * P * 40, "18 volume passes (6 relayout-reducible)"),
+        # fused right: derive pad (r+w) + derive kernel (r+w) + sgm pad
+        # (r+w) + transposeH (r+w) + 2 h-kernels (r+w each) + wta2 (2
+        # reads) = 14 passes. Reducible: both pads + transpose (6).
         ("right_view",
-         lambda e: wta_disparity(
-             sgm_aggregate(derive_right_volume(
-                 vol + e.astype(vol.dtype), cfg.min_disparity,
-                 fill=1e4, stride=stride), cfg, dirs="h"),
-             cfg.min_disparity, subpixel=False, stride=stride)[0],
-         D * P * (2 * bpe + 2 * 2 * bpe + 3 * bpe + bpe), D * P * 25),
-        # L/R check: D/stride passes of read-slice + masked accumulate
+         lambda e: right_disparity_fused_pallas(
+             vol + e.astype(vol.dtype), cfg.sgm_p1, cfg.sgm_p2,
+             cfg.min_disparity, stride=stride),
+         14 * DV, D * P * 25, "14 volume passes (6 relayout-reducible)"),
+        # L/R check: D/stride scan steps; slice reads amortise to ~the
+        # union window per unroll group, accumulator in-register per group
         ("lr_check",
          lambda e: lr_consistency(disp_l + e, disp_r, cfg.lr_threshold_eff,
                                   cfg.min_disparity, dmax, stride=stride),
-         (cfg.max_disp // stride) * P * 12, (cfg.max_disp // stride) * P * 6),
-        # guided-filter refinement (D-independent) + photoconsistency
-        # (D/stride elementwise passes)
+         D * P * 1.5, D * P * 6,
+         "slice-union + in-register accumulate (unroll 8)"),
+        # guided-filter refinement + readmit L/R + photoconsistency: the
+        # two D-scans amortise like lr_check; the guided-filter/box chain
+        # fuses to ~12 effective P-sized passes (measured envelope)
         ("refine_photo",
          lambda e: photoconsistency(
              n1, n2, refine_disparity(
                  res._replace(disparity=res.disparity + e), n1,
                  cfg).disparity,
              d_min=cfg.min_disparity, d_max=dmax, stride=stride),
-         (cfg.max_disp // stride) * P * 12 + 60 * P * 4,
-         (cfg.max_disp // stride) * P * 8 + 60 * P * 4),
-        # radiometric normalisation x2: min/max reduce + two 2-stage
-        # 64-bin grid medians per image (~9 read passes) + rescale write
-        ("normalise",
-         lambda e: normalise_image(r1 + e, mask1,
-                                   subsample=cfg.norm_subsample)[0]
-         + normalise_image(r2 + e, mask2, subsample=cfg.norm_subsample)[0],
-         2 * P * 53, 2 * P * 1600),
-        # validity-margin poisoning: one (2*it+1)^2 reduce_window per image
-        ("validity",
-         lambda e: binary_dilation(~((r1 + e) >= 0),
-                                   iterations=cfg.margin_undefined)
-         ^ binary_dilation(~mask2, iterations=cfg.margin_undefined),
-         2 * P * 8, 2 * P * (2 * cfg.margin_undefined + 1) ** 2),
+         D * P * 3 + 12 * P * 8, D * P * 8 + 60 * P * 4,
+         "2 amortised D-scans + fused guided-filter P-passes"),
     ]
 
     # band-recovery cross-checker: a second (small-support) matcher pass —
@@ -510,7 +681,11 @@ def _bench_stages(r1, r2, M, b, cfg, k: int = 6):
     if cfg.band_recover:
         import dataclasses as _dc
 
-        from pcmi_tpu.ops.stereo.matching import _vertical_box
+        from pcmi_tpu.ops.stereo.matching import (
+            _vertical_box,
+            sgm_aggregate,
+            wta_disparity,
+        )
 
         if cfg.band_check_mode == "vertical":
             cfg_v = _dc.replace(cfg, block_size=1,
@@ -525,7 +700,7 @@ def _bench_stages(r1, r2, M, b, cfg, k: int = 6):
 
             stages.append(("checker", _checker,
                            D * P * (12 + 3 * 2 * bpe + 2 * 2 * bpe + bpe),
-                           D * P * 30))
+                           D * P * 30, "census+vbox+vSGM+WTA"))
         else:
             cfg_c = _dc.replace(cfg, block_size=cfg.band_check_block,
                                 census_window=cfg.band_check_census)
@@ -537,18 +712,24 @@ def _bench_stages(r1, r2, M, b, cfg, k: int = 6):
 
             stages.append(("checker", _checker,
                            D * P * (12 + 2 * bpe),
-                           D * P * (2 * cfg.band_check_block + 10)))
+                           D * P * (2 * cfg.band_check_block + 10),
+                           "census volume + 1-pass WTA"))
 
-    # blunder gates: speckle median + gradient/band dilation + adaptive
-    # photo floor (one grid-median pass) — all P-sized, D-independent
+    # all P-sized (D-independent) stages in one rep: normalisation x2,
+    # validity margins, blunder gates, triangulate+plane finalise
+    from pcmi_tpu.geometry.rectify import triangulate_from_operator
     from pcmi_tpu.ops.filters import separable_median_filter
-    from pcmi_tpu.ops.normalize import masked_median_grid
+    from pcmi_tpu.ops.normalize import (
+        masked_median_grid,
+        masked_quantile_grid,
+    )
+    from pcmi_tpu.ops.pointcloud import fit_plane, plane_relative_height
 
-    photo = jax.jit(lambda: photoconsistency(
-        n1, n2, res.disparity, d_min=cfg.min_disparity, d_max=dmax,
-        stride=stride))()
-
-    def _gates(e):
+    def _pixel_stages(e):
+        nn1, _ = normalise_image(r1 + e, mask1, subsample=cfg.norm_subsample)
+        nn2, _ = normalise_image(r2 + e, mask2, subsample=cfg.norm_subsample)
+        vv = binary_dilation(~((r1 + e) >= 0),
+                             iterations=cfg.margin_undefined)
         d = res.disparity + e
         med = separable_median_filter(d, cfg.speckle_median_size)
         ok = jnp.abs(d - med) <= cfg.speckle_threshold
@@ -558,19 +739,9 @@ def _bench_stages(r1, r2, M, b, cfg, k: int = 6):
         floor = masked_median_grid(photo, res.valid & v1, 0.0, 2.0)
         photo_ok = photo < jnp.maximum(jnp.float32(cfg.photo_threshold),
                                        cfg.photo_adapt_factor * floor)
-        return res.valid & ok & ~band & photo_ok
-
-    stages.append(("gates", _gates, P * 64,
-                   P * (6 * cfg.speckle_median_size + 64 * 3 + 60)))
-
-    # finalise: triangulation + SVD plane fit + grid quantiles + clips
-    from pcmi_tpu.geometry.rectify import triangulate_from_operator
-    from pcmi_tpu.ops.normalize import masked_quantile_grid
-    from pcmi_tpu.ops.pointcloud import fit_plane, plane_relative_height
-
-    def _finalise(e):
-        xyz = triangulate_from_operator(res.disparity + e, M, b)
-        valid = res.valid & v1
+        gates = res.valid & ok & ~band & photo_ok
+        xyz = triangulate_from_operator(d, M, b)
+        valid = gates & v1
         height = jnp.where(valid, xyz[..., 2], jnp.nan)
         plane = fit_plane(xyz, valid.astype(jnp.float32))
         rel = plane_relative_height(xyz, plane)
@@ -580,20 +751,16 @@ def _bench_stages(r1, r2, M, b, cfg, k: int = 6):
         rhi = jnp.where(jnp.isfinite(rhi), jnp.maximum(rhi, rlo + 1e-6), 1.0)
         q0 = masked_quantile_grid(rel, valid, rlo, rhi, 0.02)
         q1 = masked_quantile_grid(rel, valid, rlo, rhi, 0.98)
-        return height + jnp.clip(rel - q0, None, q1 - q0)
+        return (nn1 + nn2 + height + jnp.clip(rel - q0, None, q1 - q0),
+                vv ^ band)
 
-    stages.append(("finalise", _finalise, P * 80, P * 1100))
+    stages.append(("pixel_stages", _pixel_stages,
+                   P * 200,
+                   P * (1600 * 2 + (2 * cfg.margin_undefined + 1) ** 2 * 2
+                        + 6 * cfg.speckle_median_size + 64 * 3 + 1200),
+                   "normalise x2 + validity + gates + finalise (~50 P-passes)"))
 
-    probe = jax.jit(lambda: jnp.float32(1.0))
-    float(probe())
-    t0 = time.perf_counter()
-    float(probe())
-    rtt = time.perf_counter() - t0
-
-    out = {}
-    total_ms = 0.0
-    for label, fn, est_bytes, est_ops in stages:
-        @jax.jit
+    def make_rep(fn):
         def rep():
             def body(c, _):
                 o = fn(c * jnp.float32(1e-20))
@@ -602,8 +769,16 @@ def _bench_stages(r1, r2, M, b, cfg, k: int = 6):
                 return c + s, None
             c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
             return c
+        return rep
 
-        float(rep())  # compile + warm
+    compiled = _aot_compile(
+        {label: (make_rep(fn), ()) for label, fn, _, _, _ in stages})
+
+    out = {}
+    total_ms = 0.0
+    for label, _fn, est_bytes, est_ops, note in stages:
+        rep = compiled[label]
+        float(rep())  # warm
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -629,12 +804,13 @@ def _bench_stages(r1, r2, M, b, cfg, k: int = 6):
             "bw_util": round(bw, 3),
             "alu_util": round(alu, 3),
             "bound": "hbm" if bw >= alu else "vpu",
+            "traffic_model": note,
         }
     out["stages_sum_ms"] = round(total_ms, 2)
     return out
 
 
-def _bench_fusion(n_points: int = 1 << 22, k_rep: int = 8):
+def _bench_fusion(rtt, n_points: int = 1 << 22, k_rep: int = 8):
     """Multi-day fusion throughput: robust DSM gridding of scattered points.
 
     Times :func:`pcmi_tpu.pipelines.streaming.dsm_update` (segment-sum
@@ -672,11 +848,6 @@ def _bench_fusion(n_points: int = 1 << 22, k_rep: int = 8):
         return c
 
     float(rep(xy, values, weights))  # compile + warm
-    probe = jax.jit(lambda: jnp.float32(1.0))
-    float(probe())
-    t0 = time.perf_counter()
-    float(probe())
-    rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
     float(rep(xy, values, weights))
     dt = max(time.perf_counter() - t0 - rtt, 1e-9) / k_rep
@@ -694,9 +865,11 @@ def _bench_families():
 
     All families share shapes and geometry-derived config, so ONE compiled
     pair_core executable serves the whole sweep. Gates: RMSE ≤ 1 m per
-    family plus per-family completeness floors (lowtex is a per-pixel
-    SNR ~ 1 scene where the noise-adaptive gates trade coverage for
-    accuracy — see tests/test_scene_families.py).
+    family plus per-family completeness floors. The ``lowtex`` family is a
+    per-pixel SNR ~ 1 scene where single-pair strict gates keep only ~2%
+    — honest per-pair coverage there is near zero and is NOT gated; the
+    production answer is multi-date fusion, gated by the separate
+    ``lowtex_fused`` section (VERDICT r4 item 3: no vacuous floors).
 
     Runs with ``disp_stride=2`` — the PRODUCTION fast path the D=288
     envelope ships with (VERDICT r3 item 3: the fast path must be
@@ -712,38 +885,46 @@ def _bench_families():
                             margin_undefined=8, disp_stride=2),
         rectify=RectifyConfig(height_range=h_range),
     )
-    floors = {"lowtex": 0.02, "noisy": 0.45}
+    floors = {"noisy": 0.45}
     out = {}
     for family in sorted(SCENE_FAMILIES):
         scene = make_family_scene(family, seed=11, out_shape=(448, 448),
                                   ground_shape=(640, 640), h_range=h_range)
         score = evaluate_pair_accuracy(scene, cfg)
-        floor = floors.get(family, 0.5)
-        out[family] = {
+        entry = {
             "rmse_m": round(score["rmse_m"], 3),
             "bias_m": round(score["bias_m"], 3),
             "completeness": round(score["completeness"], 3),
-            "pass": bool(score["rmse_m"] <= 1.0
-                         and score["completeness"] >= floor),
         }
-    out["lowtex_fused"] = _bench_lowtex_fused()
+        if family == "lowtex":
+            # accuracy-gated only: single-pair coverage on an SNR~1 scene
+            # is intentionally sparse; coverage is the lowtex_fused gate
+            entry["pass"] = bool(score["rmse_m"] <= 1.0)
+            entry["coverage_gate"] = "lowtex_fused section"
+        else:
+            floor = floors.get(family, 0.5)
+            entry["pass"] = bool(score["rmse_m"] <= 1.0
+                                 and score["completeness"] >= floor)
+        out[family] = entry
     return out
 
 
-def _bench_lowtex_fused():
-    """Low-texture coverage through multi-date fusion (VERDICT r3 item 2:
-    the evidence behind the lowtex single-pair completeness floor).
+def _bench_lowtex_fused(seeds=(11, 12, 13)):
+    """Low-texture coverage through multi-date fusion.
 
     Single-pair strict gates keep ~2% of a per-pixel-SNR~1 scene (their
     thresholds sit below the matcher noise there — measured: relaxing
     them per-pair admits CORRELATED garbage that the cross-pair median
     cannot clean, RMSE 3-6 m). The production recipe instead matches
     PRESMOOTHED inputs with L/R-only per-pair validity
-    (``gate_profile="lr"``: per-pair median |error| 0.3-0.5 m over ~65%
-    of the observable) and lets the CROSS-PAIR consistency mask
-    (min_pairs=5 of 12 pairs, MAD ≤ 0.7 m) reject what the acquisition
-    geometries do not agree on. Gate: fused completeness ≥ 0.5 of the
-    truth-covered grid at RMSE ≤ 1 m.
+    (``gate_profile="lr"``) and lets the CROSS-PAIR consistency mask
+    reject what the acquisition geometries do not agree on.
+
+    VERDICT r4 item 3 (the single-seed gate flipped on rig noise): the
+    gate is now evaluated on THREE seeds — all shapes/configs identical,
+    so the sweep reuses one compiled executable — and passes only if
+    every seed holds completeness ≥ 0.5 at RMSE ≤ 1 m; the per-seed
+    spread is reported.
     """
     from pcmi_tpu.config import PipelineConfig, RectifyConfig, StereoConfig
     from pcmi_tpu.geometry.pairs import ImageMeta
@@ -756,67 +937,69 @@ def _bench_lowtex_fused():
     views = ((12.0, 90.0), (22.0, 260.0), (16.0, 175.0), (26.0, 15.0),
              (19.0, 305.0), (11.0, 215.0), (24.0, 130.0), (14.0, 40.0))
     h_range = (0.0, 40.0)
-    cell = 1.5
-    scene = make_family_scene("lowtex", seed=11, out_shape=(448, 448),
-                              ground_shape=(448, 448), h_range=h_range,
-                              views=views)
+    # production recipe (env vars exist for recipe experiments only)
+    cell = float(os.environ.get("PCMI_LOWTEX_CELL", 1.5))
+    n_pairs = int(os.environ.get("PCMI_LOWTEX_PAIRS", 12))
+    min_pairs = int(os.environ.get("PCMI_LOWTEX_MIN_PAIRS", 5))
+    mad_max = float(os.environ.get("PCMI_LOWTEX_MAD", 0.7))
+    presmooth = float(os.environ.get("PCMI_LOWTEX_PRESMOOTH", 1.5))
     cfg = PipelineConfig(
         stereo=StereoConfig(block_size=9, census_window=5,
                             margin_undefined=8, gate_profile="lr",
-                            presmooth_sigma=1.5),
+                            presmooth_sigma=presmooth),
         rectify=RectifyConfig(height_range=h_range))
     metas = [ImageMeta(i, inc, az, date=20.0 * i)
              for i, (inc, az) in enumerate(views)]
-    terr = np.asarray(scene.terrain)
-    hg, wg = terr.shape
-    ny = int(hg * scene.ground_gsd / cell)
-    nx = int(wg * scene.ground_gsd / cell)
-    dsm, _cnt, _np_ = fused_consistency_dsm(
-        scene.images, scene.rpcs, metas, *aoi_lonlat_ranges(scene),
-        cfg, scene.ground_origin, (ny, nx), cell,
-        n_pairs=12, min_pairs=5, mad_max=0.7)
-    gxc = (np.arange(nx) + 0.5) * cell / scene.ground_gsd
-    gyc = (np.arange(ny) + 0.5) * cell / scene.ground_gsd
-    gxm, gym = np.meshgrid(gxc, gyc)
-    inb = (gxm >= 0) & (gxm < wg - 1) & (gym >= 0) & (gym < hg - 1)
-    tt = terr[np.clip(gym.astype(int), 0, hg - 1),
-              np.clip(gxm.astype(int), 0, wg - 1)]
-    filled = np.isfinite(dsm) & inb
-    err = dsm[filled] - tt[filled]
-    rmse = float(np.sqrt(np.mean(err**2))) if filled.any() else float("nan")
-    comp = float(filled.sum() / max(inb.sum(), 1))
+    per_seed = []
+    for seed in seeds:
+        scene = make_family_scene("lowtex", seed=seed, out_shape=(448, 448),
+                                  ground_shape=(448, 448), h_range=h_range,
+                                  views=views)
+        terr = np.asarray(scene.terrain)
+        hg, wg = terr.shape
+        ny = int(hg * scene.ground_gsd / cell)
+        nx = int(wg * scene.ground_gsd / cell)
+        dsm, _cnt, _np_ = fused_consistency_dsm(
+            scene.images, scene.rpcs, metas, *aoi_lonlat_ranges(scene),
+            cfg, scene.ground_origin, (ny, nx), cell,
+            n_pairs=n_pairs, min_pairs=min_pairs, mad_max=mad_max)
+        gxc = (np.arange(nx) + 0.5) * cell / scene.ground_gsd
+        gyc = (np.arange(ny) + 0.5) * cell / scene.ground_gsd
+        gxm, gym = np.meshgrid(gxc, gyc)
+        inb = (gxm >= 0) & (gxm < wg - 1) & (gym >= 0) & (gym < hg - 1)
+        tt = terr[np.clip(gym.astype(int), 0, hg - 1),
+                  np.clip(gxm.astype(int), 0, wg - 1)]
+        filled = np.isfinite(dsm) & inb
+        err = dsm[filled] - tt[filled]
+        rmse = float(np.sqrt(np.mean(err**2))) if filled.any() else float("nan")
+        comp = float(filled.sum() / max(inb.sum(), 1))
+        per_seed.append({"seed": seed, "completeness": round(comp, 4),
+                         "rmse_m": round(rmse, 3)})
+    worst_rmse = max(s["rmse_m"] for s in per_seed)
+    worst_comp = min(s["completeness"] for s in per_seed)
     return {
-        "pairs": 12,
-        "min_pairs": 5,
-        "mad_max_m": 0.7,
+        "pairs": n_pairs,
+        "min_pairs": min_pairs,
+        "mad_max_m": mad_max,
         "grid_cell_m": cell,
-        "completeness": round(comp, 4),
-        "rmse_m": round(rmse, 3),
-        "pass": bool(comp >= 0.5 and rmse <= 1.0),
+        "seeds": per_seed,
+        "worst_rmse_m": worst_rmse,
+        "worst_completeness": worst_comp,
+        "pass": bool(worst_comp >= 0.5 and worst_rmse <= 1.0),
     }
 
 
-def _bench_d288():
-    """Flagship at the reference's full MAX_DISP=288 search envelope.
+def _prepare_d288(pool):
+    """Build the D=288 scene/geometry and SUBMIT the two big rep compiles.
 
-    Three operating points, reflecting the round-4 study of this scene:
-
-    * ``strict`` — the production single-pair default (disp_stride=2,
-      strict blunder gates): the TIMED headline, RMSE ≤ 1 m.
-    * ``dense`` — the vertical-support cross-checker recovery
-      (``band_check_mode="vertical"``): +7-8 points of completeness per
-      pair, at the cost of admitting ~1.5% two-view PHANTOM matches
-      (both views agree on a wrong correspondence over quasi-periodic
-      texture — measured unidentifiable from any single-pair evidence:
-      they pass strict L/R both ways, photoconsistency, every margin
-      gate and two independent checkers).
-    * ``fused`` — 10 dense pairs from 5 views, cross-pair-median DSM at
-      min_pairs=2: different acquisition geometries decorrelate the
-      phantoms, so the median kills them. This is the production answer
-      to the completeness-vs-accuracy frontier (and the capability the
-      reference advertises: multi-day reconstruction, ``README.md:17``).
-      Gate: completeness ≥ 0.65 AND RMSE ≤ 1 m on cell-centre truth.
+    Called before the headline wait so the strict/dense executables
+    compile concurrently with the headline's (remote service, no device
+    contention). All 10 view pairs are padded to ONE common canvas (the
+    max rectified shape across geometries, -1 no-data fill) so a single
+    compiled executable serves every pair — per-geometry shapes differ by
+    up to one 128-px tile and previously forced a recompile per shape.
     """
+    import dataclasses
     import itertools
 
     import jax
@@ -825,16 +1008,10 @@ def _bench_d288():
     from pcmi_tpu.config import PipelineConfig, RectifyConfig, StereoConfig
     from pcmi_tpu.geometry.rectify import triangulation_operator
     from pcmi_tpu.geometry.synthetic import aoi_lonlat_ranges, make_stereo_scene
-    from pcmi_tpu.pipelines.evaluation import truth_on_grid
     from pcmi_tpu.pipelines.height_map import (
         HeightMapPipeline,
         _rectify_pair,
         pair_core,
-    )
-    from pcmi_tpu.pipelines.streaming import (
-        StreamingDSM,
-        dsm_finalize_multi,
-        dsm_update,
     )
 
     h_range = (0.0, 48.0)
@@ -846,21 +1023,6 @@ def _bench_d288():
         terrain_kwargs=dict(terrain_fraction=0.6, building_size_px=(50, 125),
                             building_h_m=(8.0, 18.0)),
     )
-    terr = np.asarray(scene.terrain)
-    ox, oy = scene.ground_origin
-
-    def pair_accuracy(prod):
-        valid = np.asarray(prod.valid)
-        truth, inb = truth_on_grid(scene, prod.xyz)
-        m = valid & inb
-        err = np.asarray(prod.height)[m] - truth[m]
-        rmse = float(np.sqrt(np.mean(err**2))) if m.any() else float("nan")
-        observable = ((np.asarray(prod.rect_left) >= 0)
-                      & (np.asarray(prod.rect_right) >= 0))
-        return rmse, float(valid.sum() / max(observable.sum(), 1))
-
-    out = {}
-    # --- strict: timed single-pair headline (first stereo pair) ---
     cfg_s = PipelineConfig(
         stereo=StereoConfig(block_size=9, census_window=5, margin_undefined=8,
                             # coarse-stride search: every 2nd disparity at
@@ -870,25 +1032,113 @@ def _bench_d288():
         rectify=RectifyConfig(height_range=h_range),
     )
     pipe = HeightMapPipeline(cfg_s)
-    geom = pipe.build_geometry(
-        scene.rpcs[0], scene.rpcs[1], *aoi_lonlat_ranges(scene),
-        scene.images[0].shape, scene.images[1].shape,
+    pairs = list(itertools.combinations(range(5), 2))
+    geoms = [pipe.build_geometry(
+        scene.rpcs[i], scene.rpcs[j], *aoi_lonlat_ranges(scene),
+        scene.images[i].shape, scene.images[j].shape) for i, j in pairs]
+    stereo_cfg = pipe.stereo_cfg_for(geoms)
+    cfg_d = dataclasses.replace(stereo_cfg, band_check_mode="vertical")
+
+    hc = max(g.out_shape[0] for g in geoms)
+    wc = max(g.out_shape[1] for g in geoms)
+
+    def rectified(idx):
+        i, j = pairs[idx]
+        g = geoms[idx]
+        ra, rb = _rectify_pair(
+            scene.images[i], scene.images[j],
+            jnp.asarray(g.H1, jnp.float32), jnp.asarray(g.H2, jnp.float32),
+            g.out_shape)
+        gh, gw = g.out_shape
+        pad = ((0, hc - gh), (0, wc - gw))
+        return (jnp.pad(ra, pad, constant_values=-1.0),
+                jnp.pad(rb, pad, constant_values=-1.0))
+
+    r1, r2 = rectified(0)
+    M0, b0 = triangulation_operator(geoms[0])
+    k = 5
+    rep_s = _make_rep(pair_core, hc, wc, stereo_cfg, k)
+    rep_d = _make_rep(pair_core, hc, wc, cfg_d, k)
+    return {
+        "scene": scene, "pairs": pairs, "geoms": geoms, "k": k,
+        "stereo_cfg": stereo_cfg, "canvas": (hc, wc),
+        "rectified": rectified, "r1": r1, "r2": r2, "M0": M0, "b0": b0,
+        "fut_strict": pool.submit(
+            lambda: jax.jit(rep_s).lower(r1, r2, M0, b0).compile()),
+        "fut_dense": pool.submit(
+            lambda: jax.jit(rep_d).lower(r1, r2, M0, b0).compile()),
+    }
+
+
+def _bench_d288(prep, rtt):
+    """Flagship at the reference's full MAX_DISP=288 search envelope.
+
+    Three operating points, reflecting the round-4 study of this scene:
+
+    * ``strict`` — the production single-pair default (disp_stride=2,
+      strict blunder gates): the TIMED headline, RMSE ≤ 1 m.
+    * ``dense`` — the vertical-support cross-checker recovery
+      (``band_check_mode="vertical"``): +7-8 points of completeness per
+      pair, at the cost of admitting ~1.5% two-view PHANTOM matches
+      (both views agree on a wrong correspondence over quasi-periodic
+      texture — measured unidentifiable from any single-pair evidence).
+      NOT gated alone — a documented intermediate whose per-pair RMSE
+      rides above 1 m by construction; the fused product below is the
+      gated consumer.
+    * ``fused`` — 10 dense pairs from 5 views, cross-pair-median DSM:
+      different acquisition geometries decorrelate the phantoms, so the
+      median kills them. This is the production answer to the
+      completeness-vs-accuracy frontier (and the capability the
+      reference advertises: multi-day reconstruction, ``README.md:17``).
+      Gate: completeness ≥ 0.65 AND RMSE ≤ 1 m on cell-centre truth.
+
+    Compile economy: the strict and dense rep executables were submitted
+    to the compile pool by :func:`_prepare_d288` before the headline wait,
+    and the dense rep executable doubles as the per-pair processor for
+    all 10 fusion pairs (its scan's final product is the pair product —
+    k-1 wasted repeats cost ~0.2 s/pair of execution, which is noise next
+    to one avoided remote compile).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pcmi_tpu.geometry.rectify import triangulation_operator
+    from pcmi_tpu.pipelines.streaming import (
+        StreamingDSM,
+        dsm_finalize_multi,
+        dsm_update,
     )
-    stereo_cfg = pipe.stereo_cfg_for([geom])
-    r1, r2 = _rectify_pair(
-        scene.images[0], scene.images[1],
-        jnp.asarray(geom.H1, jnp.float32), jnp.asarray(geom.H2, jnp.float32),
-        geom.out_shape,
-    )
-    M, b = triangulation_operator(geom)
-    dt, prod = _device_time_per_frame(pair_core, r1, r2, M, b, stereo_cfg,
-                                      k=5)
-    h, w = geom.out_shape
-    from pcmi_tpu.pipelines.height_map import PairProduct
-    prod_t = PairProduct(disparity=None, valid=prod[2], photo=None,
-                         xyz=prod[1], height=prod[0], rel_height=None,
-                         rect_left=r1, rect_right=r2)
-    rmse_s, vf_s = pair_accuracy(prod_t)
+
+    scene = prep["scene"]
+    pairs = prep["pairs"]
+    geoms = prep["geoms"]
+    stereo_cfg = prep["stereo_cfg"]
+    h, w = prep["canvas"]
+    rectified = prep["rectified"]
+    r1, r2 = prep["r1"], prep["r2"]
+    M0, b0 = prep["M0"], prep["b0"]
+    k = prep["k"]
+    terr = np.asarray(scene.terrain)
+    ox, oy = scene.ground_origin
+
+    def pair_accuracy(height, xyz, valid, rect1, rect2):
+        from pcmi_tpu.pipelines.evaluation import truth_on_grid
+
+        valid = np.asarray(valid)
+        truth, inb = truth_on_grid(scene, xyz)
+        m = valid & inb
+        err = np.asarray(height)[m] - truth[m]
+        rmse = float(np.sqrt(np.mean(err**2))) if m.any() else float("nan")
+        observable = (np.asarray(rect1) >= 0) & (np.asarray(rect2) >= 0)
+        return rmse, float(valid.sum() / max(observable.sum(), 1))
+
+    out = {}
+    compiled = {"strict": prep["fut_strict"].result(),
+                "dense": prep["fut_dense"].result()}
+
+    # --- strict: timed single-pair headline (first stereo pair) ---
+    dt, prod = _time_compiled(compiled["strict"], (r1, r2, M0, b0), k, rtt)
+    rmse_s, vf_s = pair_accuracy(prod[0], prod[1], prod[2], r1, r2)
     out["strict"] = {
         "canvas": [h, w],
         "max_disp": stereo_cfg.max_disp,
@@ -898,32 +1148,35 @@ def _bench_d288():
     }
 
     # --- dense + fused: 10 pairs, cross-pair median DSM ---
-    cfg_d = cfg_s.replace(stereo=dataclasses_replace(
-        cfg_s.stereo, band_check_mode="vertical"))
-    pipe_d = HeightMapPipeline(cfg_d)
-    pairs = list(itertools.combinations(range(5), 2))
-    geoms = [pipe_d.build_geometry(
-        scene.rpcs[i], scene.rpcs[j], *aoi_lonlat_ranges(scene),
-        scene.images[i].shape, scene.images[j].shape) for i, j in pairs]
-    scfg_d = pipe_d.stereo_cfg_for(geoms)
+    # dense pair-core timing first (the fused_pipeline number), then the
+    # SAME executable produces every pair's product
+    dt_dense, _ = _time_compiled(compiled["dense"], (r1, r2, M0, b0), k, rtt)
     cell = 0.6
     hg, wg = terr.shape
     ny = int(hg * scene.ground_gsd / cell)
     nx = int(wg * scene.ground_gsd / cell)
     accs = []
     dense_stats = []
-    for (i, j), g in zip(pairs, geoms):
-        p = pipe_d.process_pair(scene.images[i], scene.images[j], g, scfg_d,
-                                with_plane=False)
-        dense_stats.append(pair_accuracy(p))
-        xyz = np.asarray(p.xyz).reshape(-1, 3)
-        wgt = np.asarray(p.valid).reshape(-1).astype(np.float32)
+    upd_args = None
+    for idx, g in enumerate(geoms):
+        rd1, rd2 = rectified(idx)
+        Md, bd = triangulation_operator(g)
+        _, (p_height, p_xyz, p_valid) = compiled["dense"](rd1, rd2, Md, bd)
+        dense_stats.append(pair_accuracy(p_height, p_xyz, p_valid, rd1, rd2))
+        xyz = np.asarray(p_xyz).reshape(-1, 3)
+        wgt = np.asarray(p_valid).reshape(-1).astype(np.float32)
         acc = StreamingDSM(wsum=jnp.zeros((ny, nx)), vsum=jnp.zeros((ny, nx)),
                            vsq=jnp.zeros((ny, nx)))
-        accs.append(dsm_update(acc, jnp.asarray(xyz[:, :2]),
-                               jnp.asarray(xyz[:, 2]), jnp.asarray(wgt),
+        args = (acc, jnp.asarray(xyz[:, :2]), jnp.asarray(xyz[:, 2]),
+                jnp.asarray(wgt))
+        accs.append(dsm_update(args[0], args[1], args[2], args[3],
                                (ox, oy), cell, (ny, nx), robust_sigma=3.0))
+        if upd_args is None:
+            upd_args = args
     out["dense"] = {
+        "gated": False,
+        "note": "documented intermediate (phantom matches by construction); "
+                "the fused product below is the gated consumer",
         "pairs": len(pairs),
         "mean_rmse_m": round(float(np.mean([r for r, _ in dense_stats])), 3),
         "mean_completeness": round(
@@ -934,50 +1187,29 @@ def _bench_d288():
     # actually costs per pair = dense pair core + robust DSM update (the
     # cross-pair median finalisation is one pass over P pairs' grids,
     # amortised to noise). Timed with the same k-rep scan discipline. ---
-    g0 = geoms[0]
-    rd1, rd2 = _rectify_pair(
-        scene.images[pairs[0][0]], scene.images[pairs[0][1]],
-        jnp.asarray(g0.H1, jnp.float32), jnp.asarray(g0.H2, jnp.float32),
-        g0.out_shape,
-    )
-    Md, bd = triangulation_operator(g0)
-    dt_dense, prod_d = _device_time_per_frame(
-        pair_core, rd1, rd2, Md, bd, scfg_d, k=5)
-    hd, wd = g0.out_shape
-    xyz0 = jnp.asarray(np.asarray(prod_d[1]).reshape(-1, 3))
-    wgt0 = jnp.asarray(np.asarray(prod_d[2]).reshape(-1).astype(np.float32))
-    acc00 = StreamingDSM(wsum=jnp.zeros((ny, nx)), vsum=jnp.zeros((ny, nx)),
-                         vsq=jnp.zeros((ny, nx)))
-    import time as _time
-
     ku = 6
+    acc0, xy0, z0, w0 = upd_args
 
     @jax.jit
     def upd_rep():
         def body(c, _):
-            a = dsm_update(acc00, xyz0[:, :2] + c * 1e-20, xyz0[:, 2], wgt0,
+            a = dsm_update(acc0, xy0 + c * 1e-20, z0, w0,
                            (ox, oy), cell, (ny, nx), robust_sigma=3.0)
             return c + jnp.sum(a.wsum), None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ku)
         return c
 
     float(upd_rep())  # compile + warm
-    rtt_probe = jax.jit(lambda: jnp.float32(1.0))
-    float(rtt_probe())
-    t0u = _time.perf_counter()
-    float(rtt_probe())
-    rtt_u = _time.perf_counter() - t0u
     best_up = float("inf")
     for _ in range(2):
-        t0u = _time.perf_counter()
+        t0u = time.perf_counter()
         float(upd_rep())
-        best_up = min(best_up,
-                      max(_time.perf_counter() - t0u - rtt_u, 1e-9))
+        best_up = min(best_up, max(time.perf_counter() - t0u - rtt, 1e-9))
     best_up /= ku
     out["fused_pipeline"] = {
         "pair_core_ms": round(dt_dense * 1e3, 2),
         "dsm_update_ms": round(best_up * 1e3, 2),
-        "mpix_s": round(hd * wd / (dt_dense + best_up) / 1e6, 3),
+        "mpix_s": round(h * w / (dt_dense + best_up) / 1e6, 3),
     }
 
     dsm, _cnt, _np_ = dsm_finalize_multi(accs, min_pairs=3)
@@ -1006,12 +1238,6 @@ def _bench_d288():
         "fused_rmse_le_1m": bool(rmse_f <= 1.0),
     }
     return out
-
-
-def dataclasses_replace(obj, **kw):
-    import dataclasses
-
-    return dataclasses.replace(obj, **kw)
 
 
 if __name__ == "__main__":

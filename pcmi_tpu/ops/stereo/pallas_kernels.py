@@ -162,8 +162,8 @@ def _dir_call_sub(vol_sdb, reverse, band, chunk, p1, p2):
         kernel,
         out_shape=jax.ShapeDtypeStruct((s, dp, bt), dt),
         grid=(bt // band,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, dp, band), dt),
             pltpu.VMEM((2, chunk, dp, band), dt),
@@ -427,8 +427,8 @@ def _dir_call(vol, scan_axis, reverse, band, chunk, p1, p2):
         kernel,
         out_shape=jax.ShapeDtypeStruct((hp, wp, dp), jnp.float32),
         grid=(nbands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM(buf_shape, jnp.float32),
             pltpu.VMEM(buf_shape, jnp.float32),
@@ -597,7 +597,7 @@ def wta_fused_pallas(vol_dhw: jnp.ndarray, d_min: int, stride: int = 1,
         grid=(hp // hc, wp // 128, nk),
         in_specs=[pl.BlockSpec((dc, hc, 128), lambda i, j, k: (k, i, j),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         scratch_shapes=[
             pltpu.VMEM((11, hc, 128), jnp.float32),
             pltpu.VMEM((hc, 128), jnp.float32),
@@ -693,8 +693,8 @@ def derive_right_pallas(vol: jnp.ndarray, d_min: int, fill: float = 1.0,
         _make_derive_kernel(D, hc, w, d_min, stride),
         out_shape=jax.ShapeDtypeStruct((D, hp, w), vol.dtype),
         grid=(hp // hc,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, hc, w + 128), vol.dtype),
             pltpu.VMEM((2, hc, w), vol.dtype),
