@@ -114,7 +114,10 @@ def test_obb_detector_short_training_map():
     key = jax.random.PRNGKey(0)
     imgs, obbs, valid = synthesize_obb_batch(key, batch=8, size=96)
     params, opt = trainer.init(jax.random.PRNGKey(1), imgs)
-    for i in range(80):
+    # plumbing gate (bench_detector.py carries the mAP claim at full
+    # budget): 65 steps is the measured minimum that clears 0.5 with margin
+    # (50 steps measured under it, r5)
+    for i in range(65):
         key, sub = jax.random.split(key)
         imgs, obbs, valid = synthesize_obb_batch(sub, batch=8, size=96)
         params, opt, m = trainer.train_step(params, opt, imgs, obbs, valid)

@@ -67,8 +67,10 @@ def test_sr_beats_bicubic_held_out():
     key = jax.random.PRNGKey(0)
     pool = make_pool(key, 24, size)
     lr, hr = make_sr_pairs(pool[:batch])
+    # plumbing gate only (BENCH_GENERATIVE carries the quality claim):
+    # 120 steps clears bicubic with ~2 dB margin (measured, r5)
     state = trainer.init(jax.random.PRNGKey(1), lr)
-    for _ in range(200):
+    for _ in range(120):
         key, sub = jax.random.split(key)
         hr_b = sample_batch(sub, pool, batch)
         lr_b, hr_b = make_sr_pairs(hr_b)
@@ -93,11 +95,11 @@ def test_inpaint_beats_prefill_held_out():
     key = jax.random.PRNGKey(2)
     pool = make_pool(jax.random.PRNGKey(0), 24, size)
     state = trainer.init(jax.random.PRNGKey(3), pool[:batch])
-    # 300 steps: the REAL quality evidence is the on-chip seed-averaged
-    # bench (BENCH_GENERATIVE.json, +1.06 dB at 12k steps); this CPU gate
-    # only guards the training plumbing, so it runs the minimum budget
-    # that clears prefill with margin
-    for _ in range(200):
+    # The REAL quality evidence is the on-chip seed-averaged bench
+    # (BENCH_GENERATIVE.json, +1.06 dB at 12k steps); this CPU gate only
+    # guards the training plumbing, so it runs the minimum budget that
+    # clears prefill with margin (120 steps: +0.9 dB measured, r5)
+    for _ in range(120):
         key, k1, k2 = jax.random.split(key, 3)
         imgs = sample_batch(k1, pool, batch)
         state, _ = trainer.train_step(state, imgs, k2)
