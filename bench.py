@@ -1220,7 +1220,12 @@ def _bench_d288(prep, rtt):
         "mpix_s": round(h * w / (dt_dense + best_up) / 1e6, 3),
     }
 
-    dsm, _cnt, _np_ = dsm_finalize_multi(accs, min_pairs=3)
+    # r5 recipe (offline 10-pair stack study, /tmp sweep reproduced in
+    # tests/test_streaming.py::test_finalize_accept2): cross-pair median at
+    # n>=3 with a 1.2 m MAD consistency gate, plus agreeing-two-acquisition
+    # acceptance (0.7 m) for the footprint margins only two pairs see.
+    dsm, _cnt, _np_ = dsm_finalize_multi(accs, min_pairs=3, mad_max=1.2,
+                                         accept2_delta=0.7)
     gxc = (np.arange(nx) + 0.5) * cell / scene.ground_gsd
     gyc = (np.arange(ny) + 0.5) * cell / scene.ground_gsd
     gxm, gym = np.meshgrid(gxc, gyc)
@@ -1231,19 +1236,48 @@ def _bench_d288(prep, rtt):
     err = dsm[filled] - tt[filled]
     rmse_f = float(np.sqrt(np.mean(err**2))) if filled.any() else float("nan")
     comp_f = float(filled.sum() / max(inb.sum(), 1))
+    tail_f = float((np.abs(err) > 2).mean()) if filled.any() else None
+
+    # Completeness denominators (VERDICT r4 item 6). The AOI bounding box
+    # is NOT fully imaged: a measured ~20 % of its cells lie outside every
+    # acquisition's footprint (bbox corners beyond any rectified view), so
+    # bbox completeness has a hard geometric ceiling (<0.80 on the 10-pair
+    # study scene) that no matcher can cross. The honest denominators are
+    # geometry-derived (cell centre at TRUE height projects inside both
+    # source images, pcmi_tpu/pipelines/evaluation.py:pair_observability):
+    # obs1 = imaged by >=1 pair (union of footprints); obs2 = imaged by
+    # >=2 pairs — the region where the fused product's own >=2-acquisition
+    # consistency requirement is satisfiable. All three are reported; the
+    # gate rides on obs2 (the product spec's denominator) with bbox kept
+    # for transparency and the 0.65 bbox floor retained from r4.
+    from pcmi_tpu.pipelines.evaluation import pair_observability
+
+    obs = pair_observability(scene, pairs, cell, (ny, nx))
+    obs1 = (obs >= 1) & inb
+    obs2 = (obs >= 2) & inb
+    comp_o1 = float((filled & obs1).sum() / max(obs1.sum(), 1))
+    comp_o2 = float((filled & obs2).sum() / max(obs2.sum(), 1))
     out["fused"] = {
         "min_pairs": 3,
+        "accept2_delta_m": 0.7,
+        "mad_max_m": 1.2,
         "grid_cell_m": cell,
         "completeness": round(comp_f, 4),
+        "completeness_obs1": round(comp_o1, 4),
+        "completeness_obs2": round(comp_o2, 4),
+        "bbox_observable_ge1_frac": round(float(obs1.sum() / inb.sum()), 4),
+        "bbox_observable_ge2_frac": round(float(obs2.sum() / inb.sum()), 4),
         "rmse_m": round(rmse_f, 3),
-        "tail_gt2m": round(float((np.abs(err) > 2).mean()), 4)
-        if filled.any() else None,
+        "tail_gt2m": round(tail_f, 4) if tail_f is not None else None,
     }
     out["gates"] = {
         "strict_rmse_le_1m": bool(rmse_s <= 1.0),
         "strict_valid_fraction_ge_0.5": bool(vf_s >= 0.5),
         "fused_completeness_ge_0.65": bool(comp_f >= 0.65),
+        "fused_completeness_obs2_ge_0.8": bool(comp_o2 >= 0.8),
         "fused_rmse_le_1m": bool(rmse_f <= 1.0),
+        "fused_tail_gt2m_le_0.015": bool(tail_f is not None
+                                         and tail_f <= 0.015),
     }
     return out
 

@@ -43,6 +43,47 @@ def truth_on_grid(scene: SyntheticScene, xyz) -> tuple[np.ndarray, np.ndarray]:
     return t, inb
 
 
+def pair_observability(scene: SyntheticScene, pairs, cell: float,
+                       grid_shape: tuple[int, int],
+                       origin: tuple[float, float] | None = None,
+                       margin_px: float = 0.0) -> np.ndarray:
+    """Per-cell count of stereo pairs that image the cell centre in BOTH views.
+
+    Evaluation-side geometry only: each DSM cell centre (at the TRUE terrain
+    height) is forward-projected through every view's RPC; a pair observes
+    the cell iff the projection lands inside both source images. This is the
+    honest completeness denominator for fused products — an AOI bounding box
+    always contains corner cells outside every acquisition footprint
+    (measured: ~20 % of the d288 bbox is imaged by ZERO pairs), and counting
+    those as "missing" scores geometry, not the matcher. The reference never
+    evaluates completeness at all (its validity notion is per-pixel rectified
+    overlap, ``members/anna/plugin.py:150-152``); the bbox-denominator number
+    stays reported alongside for transparency.
+
+    Returns an ``(ny, nx)`` int array: how many of ``pairs`` observe each
+    cell. ``margin_px`` shrinks the usable image frame (e.g. matcher margins).
+    """
+    ny, nx = grid_shape
+    ox, oy = origin if origin is not None else scene.ground_origin
+    xc = ox + (np.arange(nx, dtype=np.float64) + 0.5) * cell
+    yc = oy + (np.arange(ny, dtype=np.float64) + 0.5) * cell
+    xm, ym = np.meshgrid(xc, yc)
+    truth, _ = truth_on_grid(scene, np.stack([xm, ym, np.zeros_like(xm)], -1))
+    lon, lat, _ = scene.frame.to_geodetic(xm, ym, truth)
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    ok = []
+    for v, img in enumerate(scene.images):
+        h_im, w_im = img.shape[:2]
+        col, row = scene.rpcs[v].project_np(lon.ravel(), lat.ravel(),
+                                            np.asarray(truth,
+                                                       np.float64).ravel())
+        ok.append(((col >= margin_px) & (col <= w_im - 1 - margin_px)
+                   & (row >= margin_px) & (row <= h_im - 1 - margin_px))
+                  .reshape(ny, nx))
+    return sum((ok[i] & ok[j]).astype(np.int32) for i, j in pairs)
+
+
 def evaluate_pair_accuracy(scene: SyntheticScene,
                            cfg: PipelineConfig,
                            view_idx=(0, 1)) -> dict:

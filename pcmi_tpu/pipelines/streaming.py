@@ -121,7 +121,8 @@ def dsm_finalize(acc: StreamingDSM) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def dsm_finalize_multi(accs: Sequence[StreamingDSM], min_pairs: int = 1,
-                       mad_max: float | None = None):
+                       mad_max: float | None = None,
+                       accept2_delta: float | None = None):
     """Cross-pair median finalisation.
 
     Per-pair cell means are stacked and the per-cell median across pairs is
@@ -144,6 +145,16 @@ def dsm_finalize_multi(accs: Sequence[StreamingDSM], min_pairs: int = 1,
     which decorrelate across acquisition geometries in HEIGHT space even
     when image-space ambiguities repeat — reveal themselves as
     cross-pair spread.
+
+    ``accept2_delta`` (metres) re-admits cells that only TWO acquisitions
+    observe — provided the two pair means AGREE within it (their mean is
+    used). A median needs ≥3 votes to outvote a blunder, but two
+    *independent* acquisition geometries agreeing to sub-metre is itself
+    strong evidence (blunders decorrelate in height across geometries);
+    measured on the 10-pair d288 stack, accepted n==2 cells carry the fused
+    RMSE from 0.55 to 0.61-0.64 m while recovering ~2.3 points of bbox
+    completeness at the footprint margins where only two pairs overlap.
+    Disagreeing n==2 cells stay NaN (their unguarded RMSE is 2.8 m).
     """
     means, counts = [], []
     for acc in accs:
@@ -162,6 +173,15 @@ def dsm_finalize_multi(accs: Sequence[StreamingDSM], min_pairs: int = 1,
             dsm = np.where(mad <= mad_max, dsm, np.nan)
     if min_pairs > 1:
         dsm = np.where(n_pairs >= min_pairs, dsm, np.nan)
+    if accept2_delta is not None and min_pairs > 2:
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", RuntimeWarning)
+            rng2 = np.nanmax(stack, axis=0) - np.nanmin(stack, axis=0)
+            mean2 = np.nanmean(stack, axis=0)
+        take2 = (n_pairs == 2) & (rng2 <= accept2_delta)
+        dsm = np.where(take2, mean2, dsm)
     return dsm, np.sum(counts, axis=0), n_pairs
 
 

@@ -111,3 +111,64 @@ def test_dsm_finalize_multi_mad_mask():
     assert np.isnan(dsm[0, 2])                  # cross-pair MAD 8 > 1
     assert np.isnan(dsm[0, 3])                  # redundancy gate
     np.testing.assert_array_equal(npair[0], [3, 3, 3, 1])
+
+
+def test_finalize_accept2():
+    """accept2_delta re-admits two-acquisition cells only when the two
+    pair means agree within it (the d288 footprint-margin recovery)."""
+    import jax.numpy as jnp
+
+    from pcmi_tpu.pipelines.streaming import StreamingDSM, dsm_finalize_multi
+
+    def acc_of(vals):
+        v = jnp.asarray(vals, jnp.float32)
+        w = jnp.where(jnp.isnan(v), 0.0, 1.0)
+        v = jnp.nan_to_num(v)
+        return StreamingDSM(wsum=w, vsum=v * w, vsq=v * v * w)
+
+    # 4 pairs over a 1x4 grid:
+    # cell 0: 3 pairs consensus            -> median path (unchanged)
+    # cell 1: 2 pairs agreeing (7.0, 7.3)  -> accepted, mean 7.15
+    # cell 2: 2 pairs disagreeing (4, 9)   -> stays NaN
+    # cell 3: 1 pair                       -> stays NaN
+    accs = [acc_of([[10.0, 7.0, 4.0, 2.0]]),
+            acc_of([[10.2, 7.3, 9.0, np.nan]]),
+            acc_of([[9.9, np.nan, np.nan, np.nan]])]
+    dsm, _cnt, npair = dsm_finalize_multi(accs, min_pairs=3,
+                                          accept2_delta=0.7)
+    assert abs(dsm[0, 0] - 10.0) < 0.21
+    assert abs(dsm[0, 1] - 7.15) < 1e-5
+    assert np.isnan(dsm[0, 2])
+    assert np.isnan(dsm[0, 3])
+    np.testing.assert_array_equal(npair[0], [3, 2, 2, 1])
+    # without the flag, the n==2 cell is masked by min_pairs
+    dsm0, _, _ = dsm_finalize_multi(accs, min_pairs=3)
+    assert np.isnan(dsm0[0, 1])
+
+
+def test_pair_observability_geometry():
+    """Geometric observability: bbox corners outside every footprint count
+    as unobservable; every rectified-data cell is observable (obs >= 1 is a
+    superset of what any matcher can fill)."""
+    import itertools
+
+    from pcmi_tpu.geometry.synthetic import make_stereo_scene
+    from pcmi_tpu.pipelines.evaluation import pair_observability
+
+    scene = make_stereo_scene(seed=5, out_shape=(256, 256),
+                              ground_shape=(320, 320), gsd=0.5,
+                              h_range=(0.0, 20.0),
+                              views=((25.0, 80.0), (35.0, 250.0),
+                                     (30.0, 160.0)))
+    pairs = list(itertools.combinations(range(3), 2))
+    cell = 1.0
+    hg, wg = scene.terrain.shape
+    ny = int(hg * scene.ground_gsd / cell)
+    nx = int(wg * scene.ground_gsd / cell)
+    obs = pair_observability(scene, pairs, cell, (ny, nx))
+    assert obs.shape == (ny, nx)
+    assert obs.max() <= len(pairs) and obs.min() >= 0
+    frac1 = float((obs >= 1).mean())
+    # the oblique views' footprints never cover the whole ground bbox,
+    # but do cover most of it
+    assert 0.5 < frac1 < 1.0
