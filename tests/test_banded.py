@@ -166,6 +166,16 @@ def _cfg(h_range, **stereo_kw):
     )
 
 
+# Full-envelope search on steep_scene, measured once on the 8-device CPU
+# mesh (r5; deterministic: fixed seed, no dropout). Pinned rather than
+# recomputed each run — the live comparator cost ~24 s of suite wall time
+# and tested code the other gates already cover. Re-measure with
+# evaluate_pair_accuracy(steep_scene, _cfg((0.0, 40.0))) if the matcher,
+# rectifier, or scene generator changes.
+FULL_SEARCH_RMSE_M = 0.9285
+FULL_SEARCH_COMPLETENESS = 0.6429
+
+
 def test_banded_end_to_end_matches_full_search(steep_scene):
     """The tile-adaptive matcher must hold the quality gates while
     searching a fraction of the envelope.
@@ -173,18 +183,17 @@ def test_banded_end_to_end_matches_full_search(steep_scene):
     Measured trade on this steep scene: the narrow windows EXCLUDE the
     far-off blunder matches the full search confidently admits — RMSE
     drops ~0.93 -> ~0.60 m while completeness gives up a few points of
-    (largely wrong) matches. The gates pin both sides of that trade.
+    (largely wrong) matches. The gates pin both sides of that trade
+    against the pinned full-search reference above.
     """
     h_range = (0.0, 40.0)
-    full = evaluate_pair_accuracy(steep_scene, _cfg(h_range))
     banded = evaluate_pair_accuracy(
         steep_scene,
         _cfg(h_range, adapt_band_rows=32, adapt_local_disp=96))
     assert banded["rmse_m"] <= 1.0, banded
-    assert banded["rmse_m"] <= full["rmse_m"] - 0.1, (banded, full)
+    assert banded["rmse_m"] <= FULL_SEARCH_RMSE_M - 0.1, banded
     assert banded["completeness"] >= 0.5, banded
-    assert banded["completeness"] >= full["completeness"] - 0.08, \
-        (banded, full)
+    assert banded["completeness"] >= FULL_SEARCH_COMPLETENESS - 0.08, banded
     assert abs(banded["bias_m"]) < 0.3
 
 
