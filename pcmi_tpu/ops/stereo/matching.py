@@ -88,16 +88,42 @@ def census_transform(img: jnp.ndarray, window: int = 7):
     return bits0, bits1
 
 
+def _sliding_sum(padded: jnp.ndarray, k: int, axis: int,
+                 out_len: int) -> jnp.ndarray:
+    """Length-``k`` sliding sum along ``axis`` via log-doubling.
+
+    ``out[..., i, ...] = sum_{j<k} padded[..., i+j, ...]``. A naive tap
+    loop costs ``k-1`` adds per element; doubling partial windows
+    (``s_2w[i] = s_w[i] + s_w[i+w]``) and combining the binary
+    decomposition of ``k`` costs ``floor(log2 k) + popcount(k) - 1``
+    (4 for the default block of 9). The matcher applies this per volume
+    slice, so the add count is the box filter's entire cost — measured
+    ~4.6 ms of the D=288 pair core before this (VERDICT r4 item 4)."""
+    sums = {1: padded}
+    w = 1
+    while 2 * w <= k:
+        a = sums[w]
+        n = a.shape[axis]
+        sums[2 * w] = (jax.lax.slice_in_dim(a, 0, n - w, axis=axis)
+                       + jax.lax.slice_in_dim(a, w, n, axis=axis))
+        w *= 2
+    acc = None
+    off = 0
+    for w in sorted(sums, reverse=True):
+        while off + w <= k:
+            sl = jax.lax.slice_in_dim(sums[w], off, off + out_len, axis=axis)
+            acc = sl if acc is None else acc + sl
+            off += w
+    return acc
+
+
 def _vertical_box(vol: jnp.ndarray, k: int) -> jnp.ndarray:
     """Vertical-only (edge-padded) mean over the H axis of a (D, H, W)
     volume — the aggregation of the vertical-support cross-checker, whose
     horizontal fattening radius must stay ~0."""
     r = k // 2
     p = jnp.pad(vol, ((0, 0), (r, r), (0, 0)), mode="edge")
-    acc = jnp.zeros_like(vol)
-    for i in range(k):
-        acc = acc + jax.lax.dynamic_slice_in_dim(p, i, vol.shape[1], axis=1)
-    return acc / k
+    return _sliding_sum(p, k, 1, vol.shape[1]) / k
 
 
 def _box_edge(img: jnp.ndarray, block: int) -> jnp.ndarray:
@@ -108,12 +134,7 @@ def _box_edge(img: jnp.ndarray, block: int) -> jnp.ndarray:
         pad_width = [(0, 0), (0, 0)]
         pad_width[axis] = (r, r)
         padded = jnp.pad(out, pad_width, mode="edge")
-        acc = jnp.zeros_like(out)
-        for i in range(block):
-            sl = [slice(None), slice(None)]
-            sl[axis] = slice(i, i + out.shape[axis])
-            acc = acc + padded[tuple(sl)]
-        out = acc / block
+        out = _sliding_sum(padded, block, axis, out.shape[axis]) / block
     return out
 
 
