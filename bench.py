@@ -566,6 +566,7 @@ def _bench_stages(r1, r2, M, b, cfg, rtt, k: int = 6):
 
     from pcmi_tpu.ops.morphology import binary_dilation
     from pcmi_tpu.ops.normalize import normalise_image
+    from pcmi_tpu.ops.stereo import matching as mtch
     from pcmi_tpu.ops.stereo.matching import (
         DisparityResult,
         build_cost_volume,
@@ -588,6 +589,8 @@ def _bench_stages(r1, r2, M, b, cfg, rtt, k: int = 6):
     # stage inputs, computed by ONE jitted precompute (round-4 spent six
     # separate compiles here; the remote compile service bills per
     # executable, not per op)
+    diag = cfg.right_sgm == "diagonal"
+
     def precompute(r1_, r2_):
         mask1 = r1_ >= 0
         mask2 = r2_ >= 0
@@ -596,16 +599,30 @@ def _bench_stages(r1, r2, M, b, cfg, rtt, k: int = 6):
         v1 = mask1 & ~binary_dilation(~mask1, iterations=cfg.margin_undefined)
         v2 = mask2 & ~binary_dilation(~mask2, iterations=cfg.margin_undefined)
         vol = build_cost_volume(n1, n2, v1, v2, cfg)
-        disp_l, cost_l, margin = sgm4_wta_fused_pallas(
-            vol, cfg.sgm_p1, cfg.sgm_p2, cfg.min_disparity, stride=stride)
-        disp_r = right_disparity_fused_pallas(
-            vol, cfg.sgm_p1, cfg.sgm_p2, cfg.min_disparity, stride=stride)
+        if diag:
+            from pcmi_tpu.ops.stereo.matching import diag_right_disparity_wdh
+
+            disp_l, cost_l, margin, s_wdh = sgm4_wta_fused_pallas(
+                vol, cfg.sgm_p1, cfg.sgm_p2, cfg.min_disparity,
+                stride=stride, with_aggregate=True)
+            dn, hn, wn = vol.shape
+            disp_r = diag_right_disparity_wdh(
+                s_wdh, cfg.min_disparity, dn, hn, wn, stride=stride)
+        else:
+            disp_l, cost_l, margin = sgm4_wta_fused_pallas(
+                vol, cfg.sgm_p1, cfg.sgm_p2, cfg.min_disparity, stride=stride)
+            disp_r = right_disparity_fused_pallas(
+                vol, cfg.sgm_p1, cfg.sgm_p2, cfg.min_disparity, stride=stride)
         photo = photoconsistency(n1, n2, disp_l, d_min=cfg.min_disparity,
                                  d_max=dmax, stride=stride)
-        return n1, n2, v1, v2, vol, disp_l, cost_l, margin, disp_r, photo
+        extra = (s_wdh,) if diag else ()
+        return (n1, n2, v1, v2, vol, disp_l, cost_l, margin, disp_r,
+                photo) + extra
 
     pre = jax.jit(precompute).lower(r1, r2).compile()
-    (n1, n2, v1, v2, vol, disp_l, cost_l, margin, disp_r, photo) = pre(r1, r2)
+    (n1, n2, v1, v2, vol, disp_l, cost_l, margin, disp_r, photo,
+     *extra) = pre(r1, r2)
+    s_wdh = extra[0] if extra else None
     jax.block_until_ready(vol)
     mask1 = r1 >= 0
     mask2 = r2 >= 0
@@ -639,22 +656,38 @@ def _bench_stages(r1, r2, M, b, cfg, rtt, k: int = 6):
          "box recompute under fusion"),
         # fused left: pad(r+w) + transposeH(r+w) + 2 h-kernels (r+w each) +
         # swapaxesV(r+w) + 2 v-kernels (r+w each) + vert add/relayout
-        # (2r+1w) + WTA kernel (3 stream reads) = 18 volume passes.
+        # (2r+1w) + WTA kernel (3 stream reads) = 18 volume passes
+        # (+1 S write under right_sgm="diagonal").
         # Reducible: the pad/relayout passes (6) — kernel variants reading
         # the native (D, H, W) layout directly.
         ("sgm_wta",
-         lambda e: sgm4_wta_fused_pallas(
+         (lambda e: sgm4_wta_fused_pallas(
              vol + e.astype(vol.dtype), cfg.sgm_p1, cfg.sgm_p2,
-             cfg.min_disparity, stride=stride),
-         18 * DV, D * P * 40, "18 volume passes (6 relayout-reducible)"),
-        # fused right: derive pad (r+w) + derive kernel (r+w) + sgm pad
-        # (r+w) + transposeH (r+w) + 2 h-kernels (r+w each) + wta2 (2
-        # reads) = 14 passes. Reducible: both pads + transpose (6).
+             cfg.min_disparity, stride=stride, with_aggregate=True))
+         if diag else
+         (lambda e: sgm4_wta_fused_pallas(
+             vol + e.astype(vol.dtype), cfg.sgm_p1, cfg.sgm_p2,
+             cfg.min_disparity, stride=stride)),
+         (19 if diag else 18) * DV, D * P * 40,
+         f"{19 if diag else 18} volume passes (6 relayout-reducible)"),
+        # right view. diagonal: ONE streaming read of the materialized S
+        # plus carry (best, argmin) planes spilled once per unroll-8 group
+        # (the OpenCV-SGBM disp2 recipe; replaces the derive + 2-path SGM
+        # + WTA chain). horizontal: derive pad (r+w) + derive kernel (r+w)
+        # + sgm pad (r+w) + transposeH (r+w) + 2 h-kernels (r+w each) +
+        # wta2 (2 reads) = 14 passes (6 relayout-reducible).
         ("right_view",
-         lambda e: right_disparity_fused_pallas(
+         (lambda e: mtch.diag_right_disparity_wdh(
+             s_wdh + e.astype(s_wdh.dtype), cfg.min_disparity, D,
+             h, w, stride=stride))
+         if diag else
+         (lambda e: right_disparity_fused_pallas(
              vol + e.astype(vol.dtype), cfg.sgm_p1, cfg.sgm_p2,
-             cfg.min_disparity, stride=stride),
-         14 * DV, D * P * 25, "14 volume passes (6 relayout-reducible)"),
+             cfg.min_disparity, stride=stride)),
+         DV + (D / 8) * P * 16 + P * 4 if diag else 14 * DV,
+         D * P * 4 if diag else D * P * 25,
+         "S read + /8-amortised carry spill" if diag else
+         "14 volume passes (6 relayout-reducible)"),
         # L/R check: D/stride scan steps; slice reads amortise to ~the
         # union window per unroll group, accumulator in-register per group
         ("lr_check",

@@ -55,6 +55,16 @@ class StereoConfig:
     #   right frame (C_R(y,x,d) = C_L(y,x+d,d)); the standard single-volume
     #   trick (libSGM / OpenCV CUDA SGM), cheapest but the check loses
     #   independence: +0.0-0.25 m RMSE measured.
+    #   "diagonal" — semantics of "derived" (diagonal argmin over the left
+    #   aggregate, integer WTA — OpenCV SGBM's own disp2 recipe), fused on
+    #   TPU so the left Pallas SGM emits the aggregate and the right view
+    #   costs ONE extra volume read+write instead of the derived/horizontal
+    #   chains (~3 vs ~14 volume passes). Measured on the bench headline
+    #   scene: pair core 16.4 -> 14.8 ms (+10%) but RMSE 0.456 -> 0.641 m
+    #   (0.546 with lr_threshold tightened to 0.5) — the aggregate-derived
+    #   right view loses the check's independence, so "horizontal" stays
+    #   the default; pick "diagonal" when throughput outranks the last
+    #   0.1 m of accuracy.
     right_sgm: str = "horizontal"
     # Sub-pixel parabola for the right-view WTA: off by default — the L/R
     # check tolerates integer right disparities (|dL - dR| <= 1.5 px) and
@@ -219,7 +229,8 @@ class StereoConfig:
             raise ValueError(f"unknown cost_type {self.cost_type!r}")
         # tri-state strings: a typo must not silently buy the most
         # expensive fallback branch (e.g. right_sgm="horiz" → full 4-path)
-        if self.right_sgm not in ("horizontal", "full", "derived"):
+        if self.right_sgm not in ("horizontal", "full", "derived",
+                                  "diagonal"):
             raise ValueError(f"unknown right_sgm {self.right_sgm!r} "
                              "(expected horizontal/full/derived)")
         if self.sgm_backend not in ("auto", "pallas", "xla"):

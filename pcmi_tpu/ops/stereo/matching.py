@@ -457,6 +457,53 @@ def derive_right_volume(vol: jnp.ndarray, d_min: int,
     return out
 
 
+def diag_right_disparity_wdh(s_wdh: jnp.ndarray, d_min: int, d_count: int,
+                             h: int, w: int, stride: int = 1) -> jnp.ndarray:
+    """Right-view integer disparity as a diagonal argmin over the LEFT
+    combined SGM aggregate in its (W, Dp, H) kernel layout:
+
+        disp_r[y, x] = d_min + stride * argmin_i S[x + d_i, i, y]
+
+    (``d_i = d_min + i*stride``; candidates with ``x + d_i`` outside the
+    real image width are excluded, all-excluded pixels take i=0 like the
+    fill-padded ``right_sgm="derived"`` WTA). This is how OpenCV SGBM
+    computes its second view (``disp2`` from the single aggregated cost
+    S), so the right view costs ONE read of S instead of the derive +
+    2-path SGM + WTA chain. Gather-free: a scan over the d slices with
+    dynamic plane slices, ties -> lowest index (argmin parity).
+
+    ``s_wdh`` may carry padded extents (Wp >= w, Dp >= d_count, Hp >= h)
+    straight from ``sgm4_wta_fused_pallas(..., with_aggregate=True)``;
+    only the real region is read.
+    """
+    wp, dp, hp = s_wdh.shape
+    pad_lo = max(0, -d_min)
+    pad_hi = max(0, d_min + (d_count - 1) * stride) + 1
+    xs = jax.lax.broadcasted_iota(jnp.int32, (w, hp), 0)
+    big = jnp.float32(1e9)
+
+    def step(carry, i):
+        best, besti = carry
+        d = d_min + i * stride
+        plane = jax.lax.dynamic_slice(s_wdh, (0, i, 0), (wp, 1, hp))[:, 0, :]
+        planep = jnp.pad(plane.astype(jnp.float32), ((pad_lo, pad_hi), (0, 0)),
+                         constant_values=big)
+        shifted = jax.lax.dynamic_slice(planep, (pad_lo + d, 0), (w, hp))
+        ok = (xs + d >= 0) & (xs + d < w)
+        cost = jnp.where(ok, shifted, big)
+        upd = cost < best
+        return (jnp.where(upd, cost, best),
+                jnp.where(upd, i, besti)), None
+
+    init = (jnp.full((w, hp), big, jnp.float32),
+            jnp.zeros((w, hp), jnp.int32))
+    (best, besti), _ = jax.lax.scan(
+        step, init, jnp.arange(d_count, dtype=jnp.int32),
+        unroll=_scan_unroll())
+    disp = d_min + stride * besti.astype(jnp.float32)
+    return disp[:, :h].T
+
+
 @partial(jax.jit, static_argnames=("cfg", "aggregation", "row_shift_pad",
                                    "row_shift_chunk"))
 def compute_disparity(
@@ -496,7 +543,7 @@ def compute_disparity(
     disp_r = None
     left_fused = None
     if aggregation == "sgm":
-        if use_pallas and cfg.right_sgm != "derived":
+        if use_pallas and cfg.right_sgm not in ("derived", "diagonal"):
             # fused 4-path SGM + WTA: the combined aggregate is never
             # materialized (see pallas_kernels.sgm4_wta_fused_pallas);
             # skipped for right_sgm="derived", whose right view needs agg_l
@@ -508,12 +555,34 @@ def compute_disparity(
                 vol_l, cfg.sgm_p1, cfg.sgm_p2, cfg.min_disparity,
                 stride=stride)
             agg_l = None
+        elif use_pallas and cfg.right_sgm == "diagonal":
+            # fused left SGM+WTA that ALSO emits the combined aggregate S
+            # (one extra volume write); the right view is then a single
+            # diagonal-argmin read of S — the OpenCV-SGBM disp2 recipe —
+            # replacing the derive + 2-path SGM + WTA chain (~14 volume
+            # passes) with ~3
+            from pcmi_tpu.ops.stereo.pallas_kernels import (
+                sgm4_wta_fused_pallas,
+            )
+
+            *left_fused, s_wdh = sgm4_wta_fused_pallas(
+                vol_l, cfg.sgm_p1, cfg.sgm_p2, cfg.min_disparity,
+                stride=stride, with_aggregate=True)
+            d_n, h_n, w_n = vol_l.shape
+            disp_r = diag_right_disparity_wdh(
+                s_wdh, cfg.min_disparity, d_n, h_n, w_n, stride=stride)
+            agg_l = None
         else:
             agg_l = sgm_aggregate(vol_l, cfg)
-        if cfg.right_sgm == "derived":
+        if disp_r is not None:
+            agg_r = None
+        elif cfg.right_sgm in ("derived", "diagonal"):
             # single-volume L/R: shift the aggregated left volume into the
             # right frame instead of paying a second full SGM (see
-            # StereoConfig.right_sgm)
+            # StereoConfig.right_sgm). "diagonal" lands here only off the
+            # Pallas path (CPU/scan backend) — fill-padded derive + integer
+            # WTA computes the identical argmin (see
+            # diag_right_disparity_wdh).
             agg_r = derive_right_volume(agg_l, cfg.min_disparity, fill=1e4,
                                         stride=stride)
         elif cfg.right_sgm == "horizontal" and not cfg.right_subpixel \
@@ -544,8 +613,11 @@ def compute_disparity(
                                                with_margin=True,
                                                stride=stride)
     if disp_r is None:
+        # diagonal mode is integer-WTA by construction; keep the scan
+        # fallback identical so backends agree
+        sub_r = cfg.right_subpixel and cfg.right_sgm != "diagonal"
         disp_r, _ = wta_disparity(agg_r, cfg.min_disparity,
-                                  subpixel=cfg.right_subpixel, stride=stride)
+                                  subpixel=sub_r, stride=stride)
 
     ok = lr_consistency(disp_l, disp_r, cfg.lr_threshold_eff,
                         d_min=cfg.min_disparity,

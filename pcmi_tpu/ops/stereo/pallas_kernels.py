@@ -812,7 +812,8 @@ def right_disparity_fused_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_wta3_kernel(d_min: float, stride: float, subpixel: bool):
+def _make_wta3_kernel(d_min: float, stride: float, subpixel: bool,
+                      with_aggregate: bool = False):
     """Three-stream sum + full WTA (disp/best/margin/parabola) per block.
 
     Inputs are the two horizontal directional aggregates in their native
@@ -821,14 +822,24 @@ def _make_wta3_kernel(d_min: float, stride: float, subpixel: bool):
     reproduces ``sgm_aggregate``'s combine exactly, and the reduction
     semantics (ties -> lowest d, boundary parabola gating, >1-px-away
     margin) match ``wta_fused_pallas`` / the XLA ``wta_disparity``.
+
+    ``with_aggregate`` additionally writes the combined aggregate S back
+    out (in the same (W, Dp, H) layout, input dtype) — the one extra
+    volume pass that lets the right view become a diagonal argmin over S
+    instead of its own derive + 2-path SGM + WTA chain (``right_sgm=
+    "diagonal"``; OpenCV SGBM's disp2 does exactly this from its single
+    aggregated cost, ``reference: cv2.StereoSGBM`` semantics).
     """
 
-    def kernel(a_ref, b_ref, v_ref, disp_ref, best_ref, marg_ref):
+    def kernel(a_ref, b_ref, v_ref, disp_ref, best_ref, marg_ref,
+               *maybe_s):
         wc = a_ref.shape[0]
 
         def one(x, _):
             hsum = a_ref[x] + b_ref[x]            # bf16 add, parity
             s = ((v_ref[x] + hsum) * 0.25).astype(jnp.float32)  # (Dp, B)
+            if with_aggregate:
+                maybe_s[0][x] = s.astype(maybe_s[0].dtype)
             m = jnp.min(s, axis=0)
             iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             idx = jnp.min(jnp.where(s == m[None, :], iota, 2 ** 30), axis=0)
@@ -861,7 +872,7 @@ def _make_wta3_kernel(d_min: float, stride: float, subpixel: bool):
 
 
 @partial(jax.jit, static_argnames=("p1", "p2", "d_min", "stride", "subpixel",
-                                   "band", "chunk"))
+                                   "band", "chunk", "with_aggregate"))
 def sgm4_wta_fused_pallas(
     vol_dhw: jnp.ndarray,
     p1: float,
@@ -871,6 +882,7 @@ def sgm4_wta_fused_pallas(
     subpixel: bool = True,
     band: int = 128,
     chunk: int | None = None,
+    with_aggregate: bool = False,
 ):
     """(disp, best, margin) from a raw (D, H, W) cost volume: 4-path SGM
     plus WTA with the combine fused away.
@@ -912,22 +924,37 @@ def sgm4_wta_fused_pallas(
     esize = 2 if vol_dhw.dtype == jnp.bfloat16 else 4
     wc = 8
     hb = hp
+    # pipeline budget: 3 input streams (+1 S output stream when
+    # with_aggregate) x 2 slots each
+    nstreams = 8 if with_aggregate else 6
     for cand in (hp // k for k in range(1, hp // 128 + 1)):
         if hp % cand == 0 and cand % 128 == 0 \
-                and 6 * wc * dp * cand * esize <= 12e6:
+                and nstreams * wc * dp * cand * esize <= 12e6:
             hb = cand
             break
-    kernel = _make_wta3_kernel(float(d_min), float(stride), bool(subpixel))
+    kernel = _make_wta3_kernel(float(d_min), float(stride), bool(subpixel),
+                               with_aggregate=with_aggregate)
     spec = pl.BlockSpec((wc, dp, hb), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((wc, hb), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
-    disp, best, marg = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((wp, hp), jnp.float32)] * 3
+    out_specs = [ospec] * 3
+    if with_aggregate:
+        out_shape.append(jax.ShapeDtypeStruct((wp, dp, hp), vol_dhw.dtype))
+        out_specs.append(spec)
+    outs = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((wp, hp), jnp.float32)] * 3,
+        out_shape=out_shape,
         grid=(wp // wc, hp // hb),
         in_specs=[spec, spec, spec],
-        out_specs=[ospec] * 3,
+        out_specs=out_specs,
         interpret=_interpret(),
     )(lr, rl, vert)
+    disp, best, marg = outs[:3]
+    if with_aggregate:
+        # S stays in the (W, Dp, H) kernel layout and PADDED extents —
+        # diag_right_wta_wdh consumes it as-is (crop there, not here:
+        # a crop would materialize a second full volume)
+        return disp[:w, :h].T, best[:w, :h].T, marg[:w, :h].T, outs[3]
     return disp[:w, :h].T, best[:w, :h].T, marg[:w, :h].T

@@ -145,3 +145,76 @@ def test_right_disparity_fused_parity(rng):
             band=8, chunk=8)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5)
+
+
+def test_diagonal_right_parity(rng):
+    """with_aggregate S + diagonal argmin == the "derived" reference chain.
+
+    ``right_sgm="diagonal"`` contract: ``sgm4_wta_fused_pallas(...,
+    with_aggregate=True)`` emits the combined aggregate S and
+    ``diag_right_disparity_wdh`` computes the same integer disparities as
+    ``wta_disparity(derive_right_volume(sgm_aggregate(vol), fill=1e4))``
+    (OpenCV SGBM's disp2 recipe). f32 volumes -> exact equality (the
+    kernel combine is the same two-operand f32 sum, commuted)."""
+    from pcmi_tpu.ops.stereo.matching import (
+        derive_right_volume,
+        diag_right_disparity_wdh,
+        wta_disparity,
+    )
+    from pcmi_tpu.ops.stereo.pallas_kernels import sgm4_wta_fused_pallas
+
+    cfg = StereoConfig(max_disp=16, sgm_backend="xla")
+    for (d, h, w), stride, d_min in [((16, 24, 40), 1, 0),
+                                     ((16, 19, 33), 2, -4)]:
+        vol = jnp.asarray(rng.uniform(0, 1, (d, h, w)).astype(np.float32))
+        agg_l = sgm_aggregate(vol, cfg)
+        agg_r = derive_right_volume(agg_l, d_min, fill=1e4, stride=stride)
+        ref, _ = wta_disparity(agg_r, d_min, subpixel=False, stride=stride,
+                               backend="xla")
+        outs = sgm4_wta_fused_pallas(
+            vol, cfg.sgm_p1, cfg.sgm_p2, d_min, stride=stride,
+            band=8, chunk=8, with_aggregate=True)
+        assert len(outs) == 4
+        got = diag_right_disparity_wdh(outs[3], d_min, d, h, w,
+                                       stride=stride)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+        # the first three outputs must be untouched by the extra stream
+        d0, b0, m0 = sgm4_wta_fused_pallas(
+            vol, cfg.sgm_p1, cfg.sgm_p2, d_min, stride=stride,
+            band=8, chunk=8)
+        np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(d0))
+        np.testing.assert_array_equal(np.asarray(outs[2]), np.asarray(m0))
+
+
+def test_compute_disparity_diagonal_mode(rng):
+    """right_sgm="diagonal" end-to-end == right_sgm="derived" + integer WTA
+    on the pallas(interpret) backend, and runs on the scan backend too."""
+    from pcmi_tpu.ops.stereo.matching import compute_disparity
+
+    left = rng.uniform(0, 1, (40, 64)).astype(np.float32)
+    # shift columns by 3 for a plausibly matchable pair
+    right = np.roll(left, -3, axis=1).astype(np.float32)
+    valid = np.ones((40, 64), bool)
+    base = dict(block_size=5, census_window=5, max_disp=8,
+                band_recover=False)
+    cfg_diag = StereoConfig(sgm_backend="pallas", right_sgm="diagonal",
+                            **base)
+    cfg_der = StereoConfig(sgm_backend="pallas", right_sgm="derived",
+                           **base)
+    l, r, v = jnp.asarray(left), jnp.asarray(right), jnp.asarray(valid)
+    out_diag = compute_disparity(l, r, v, v, cfg_diag)
+    out_der = compute_disparity(l, r, v, v, cfg_der)
+    np.testing.assert_allclose(np.asarray(out_diag.disparity),
+                               np.asarray(out_der.disparity), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_diag.disparity_right),
+                               np.asarray(out_der.disparity_right),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_diag.valid),
+                                  np.asarray(out_der.valid))
+    # scan backend accepts the mode (falls back to the derived chain)
+    cfg_scan = StereoConfig(sgm_backend="xla", right_sgm="diagonal", **base)
+    out_scan = compute_disparity(l, r, v, v, cfg_scan)
+    np.testing.assert_allclose(np.asarray(out_scan.disparity_right),
+                               np.asarray(out_der.disparity_right),
+                               atol=1e-5)
