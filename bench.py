@@ -676,6 +676,12 @@ def _bench_stages(r1, r2, M, b, cfg, rtt, k: int = 6):
         # + WTA chain). horizontal: derive pad (r+w) + derive kernel (r+w)
         # + sgm pad (r+w) + transposeH (r+w) + 2 h-kernels (r+w each) +
         # wta2 (2 reads) = 14 passes (6 relayout-reducible).
+        # horizontal: pad+transpose fuse to ONE relayout pass (r+w, XLA
+        # fuses the pad into the transpose consumer — the old 14-pass
+        # model double-counted them and broke util <= 1) + (W,Dp,H)-layout
+        # derive (r+w, pure DMA) + 2 h-kernels (r+w each) + wta2 (2 reads)
+        # = 10 passes in isolation; inside pair_core the relayout is CSE'd
+        # with the left path's.
         ("right_view",
          (lambda e: mtch.diag_right_disparity_wdh(
              s_wdh + e.astype(s_wdh.dtype), cfg.min_disparity, D,
@@ -684,10 +690,10 @@ def _bench_stages(r1, r2, M, b, cfg, rtt, k: int = 6):
          (lambda e: right_disparity_fused_pallas(
              vol + e.astype(vol.dtype), cfg.sgm_p1, cfg.sgm_p2,
              cfg.min_disparity, stride=stride)),
-         DV + (D / 8) * P * 16 + P * 4 if diag else 14 * DV,
+         DV + (D / 8) * P * 16 + P * 4 if diag else 10 * DV,
          D * P * 4 if diag else D * P * 25,
          "S read + /8-amortised carry spill" if diag else
-         "14 volume passes (6 relayout-reducible)"),
+         "10 volume passes (fused relayout + wdh derive + 2 dirs + wta2)"),
         # L/R check: D/stride scan steps; slice reads amortise to ~the
         # union window per unroll group, accumulator in-register per group
         ("lr_check",
@@ -744,9 +750,14 @@ def _bench_stages(r1, r2, M, b, cfg, rtt, k: int = 6):
                                      stride=stride)[0]
 
             stages.append(("checker", _checker,
-                           D * P * (12 + 2 * bpe),
+                           # census planes amortise /8 across the unroll
+                           # group exactly like cost_volume's (the 12 B/px
+                           # per-slice model broke util <= 1: measured
+                           # 1.12); + volume write + WTA read
+                           D * P * (25 / 8 + 2 * bpe),
                            D * P * (2 * cfg.band_check_block + 10),
-                           "census volume + 1-pass WTA"))
+                           "census volume (/8-amortised planes) + 1-pass "
+                           "WTA"))
 
     # all P-sized (D-independent) stages in one rep: normalisation x2,
     # validity margins, blunder gates, triangulate+plane finalise

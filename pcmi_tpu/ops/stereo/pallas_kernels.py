@@ -707,6 +707,149 @@ def derive_right_pallas(vol: jnp.ndarray, d_min: int, fill: float = 1.0,
     return out[:, :h, :]
 
 
+def _make_derive_wdh_kernel(dp_total: int, d_real: int, w: int, wp: int,
+                            d_min: int, stride: int, fill: float, hc: int):
+    """Derive the right-view volume IN the (W, Dp, H) scan layout.
+
+    ``out[x, d, :] = vol_h[x + off(d), d, :]`` with ``off(d) = d_min +
+    d*stride`` — the shift rides the MAJOR axis, so each d slice is one
+    strided HBM->VMEM->HBM copy with no per-element work; only the
+    out-of-image tails are patched on the VPU:
+
+    * ``x + off`` outside ``[0, w)`` (and ``x < w``) -> ``fill`` (the
+      invalid-cost ceiling, matching ``derive_right_volume``'s pad),
+    * ``x in [w, wp)`` -> 0 (the spatial pad the old chain applied after
+      deriving),
+    * ``d >= d_real`` (disparity lane padding) -> BIG.
+
+    Grid over H lane-bands (DMA lane offsets must be 128-aligned; the
+    major-axis offsets are unconstrained). The d loop is Python-unrolled
+    so every DMA extent is static. Replaces the old chain's derive +
+    spatial pad + (W, Dp, H) relayout — and its input is the SAME padded
+    transposed volume the fused left path builds, which XLA CSE dedupes
+    when both are jitted together: ~4 fewer full-volume passes.
+    """
+
+    def off(d):
+        return d_min + d * stride
+
+    # d slices are processed in 8-groups: HBM refs are (8, 128)-tiled on
+    # their trailing dims, so a DMA may only slice the D axis at 8-aligned
+    # offsets/extents. The per-d residual shift within a group is applied
+    # as value-level VMEM reads (unconstrained).
+    ngroups = dp_total // 8
+    assert dp_total % 8 == 0, dp_total
+
+    def kernel(vol_hbm, out_hbm, inbuf, outbuf, insem, outsem):
+        b = pl.program_id(0)
+        lanes = pl.ds(b * hc, hc)
+
+        def in_copy(g, slot):
+            base = off(8 * g)
+            src0 = max(base, 0)
+            rows = wp - src0
+            if rows <= 0 or 8 * g >= d_real:
+                return None
+            return pltpu.make_async_copy(
+                vol_hbm.at[pl.ds(src0, rows), pl.ds(8 * g, 8), lanes],
+                inbuf.at[slot, pl.ds(0, rows)], insem.at[slot])
+
+        def out_copy(g, slot):
+            return pltpu.make_async_copy(
+                outbuf.at[slot], out_hbm.at[pl.ds(0, wp), pl.ds(8 * g, 8),
+                                            lanes],
+                outsem.at[slot])
+
+        def start_in(g, slot):
+            c = in_copy(g, slot)
+            if c is not None:
+                c.start()
+
+        def shift_patch(g, slot):
+            base = off(8 * g)
+            src0 = max(base, 0)
+            f = jnp.asarray(fill, outbuf.dtype)
+            for k in range(8):
+                d = 8 * g + k
+                o = off(d)
+                if d >= d_real or o >= w:
+                    # padded-d lanes are BIG — but the old chain's spatial
+                    # pad (0 at x >= w) applied AFTER its D pad, so the
+                    # zero patch below still runs for bit parity
+                    outbuf[slot, :, k] = jnp.full(
+                        (wp, hc), BIG if d >= d_real else f, outbuf.dtype)
+                else:
+                    sh = o - src0
+                    if sh >= 0:
+                        outbuf[slot, :, k] = inbuf[slot, pl.ds(sh, wp), k]
+                    else:
+                        outbuf[slot, -sh:wp, k] = \
+                            inbuf[slot, pl.ds(0, wp + sh), k]
+                        outbuf[slot, 0:-sh, k] = jnp.full(
+                            (-sh, hc), f, outbuf.dtype)
+                    # right-edge out-of-image band [w - o, w)
+                    if o > 0:
+                        lo, hi = max(w - o, 0), min(w, wp)
+                        if hi > lo:
+                            outbuf[slot, lo:hi, k] = jnp.full(
+                                (hi - lo, hc), f, outbuf.dtype)
+                # spatial pad columns of the old derived-then-padded chain
+                if wp > w:
+                    outbuf[slot, w:wp, k] = jnp.zeros(
+                        (wp - w, hc), outbuf.dtype)
+
+        start_in(0, 0)
+        if ngroups > 1:
+            start_in(1, 1)
+        for g in range(ngroups):
+            slot = g % 2
+            c = in_copy(g, slot)
+            if c is not None:
+                c.wait()
+            if g >= 2:
+                out_copy(g - 2, slot).wait()
+            shift_patch(g, slot)
+            out_copy(g, slot).start()
+            if g + 2 < ngroups:
+                start_in(g + 2, slot)
+        for g in range(max(ngroups - 2, 0), ngroups):
+            out_copy(g, g % 2).wait()
+
+    return kernel
+
+
+def derive_right_wdh_pallas(vol_h: jnp.ndarray, d_real: int, w: int,
+                            d_min: int, stride: int = 1, fill: float = 1.0,
+                            hc: int = 128) -> jnp.ndarray:
+    """(W, Dp, H)-layout twin of :func:`derive_right_pallas` (see
+    :func:`_make_derive_wdh_kernel`). ``vol_h`` is the padded transposed
+    volume the fused left path builds; ``d_real``/``w`` are the real
+    (unpadded) disparity count and image width."""
+    wp, dp, hp = vol_h.shape
+    if hp % hc != 0:
+        # non-128-granular H extents (small parity-test volumes): one
+        # full-width band — lane offset 0 is trivially aligned
+        hc = hp
+    # in-buffer rows extend past wp so the +7*stride residual shift's
+    # value reads stay in bounds (tail rows are garbage, always masked)
+    rows_buf = wp + 8 * max(stride, 1)
+    return pl.pallas_call(
+        _make_derive_wdh_kernel(dp, d_real, w, wp, d_min, stride, fill, hc),
+        out_shape=jax.ShapeDtypeStruct((wp, dp, hp), vol_h.dtype),
+        grid=(hp // hc,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_buf, 8, hc), vol_h.dtype),
+            pltpu.VMEM((2, wp, 8, hc), vol_h.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(vol_h)
+
+
 # ---------------------------------------------------------------------------
 # Fused right-view disparity: derive -> 2-path horizontal SGM -> argmin,
 # without materializing the summed aggregate or paying a separate WTA pass
@@ -755,33 +898,42 @@ def right_disparity_fused_pallas(
     in their native scan layout, so those five full-volume passes collapse
     into one double-read emitting only the (H, W) disparity plane.
 
-    Bit-parity with the unfused chain (same derive kernel, same direction
-    kernels, bf16 add order preserved, argmin tie-break = lowest index).
+    Bit-parity with the unfused chain (same derive semantics, same
+    direction kernels, bf16 add order preserved, argmin tie-break =
+    lowest index).
+
+    The derive runs IN the (W, Dp, H) scan layout
+    (:func:`derive_right_wdh_pallas`) on the same padded transposed
+    volume the fused left path builds — identical subexpression, so XLA
+    CSE shares it when both views are jitted together. vs the old
+    derive -> pad -> relayout chain that is ~4 fewer full-volume passes.
     """
-    volr = derive_right_pallas(vol_dhw, d_min, fill=fill, stride=stride)
-    d, h, w = volr.shape
-    sub = 16 if volr.dtype == jnp.bfloat16 else 8
+    d, h, w = vol_dhw.shape
+    sub = 16 if vol_dhw.dtype == jnp.bfloat16 else 8
     dp = int(np.ceil(d / sub) * sub)
     if chunk is None:
-        esize = 2 if volr.dtype == jnp.bfloat16 else 4
+        esize = 2 if vol_dhw.dtype == jnp.bfloat16 else 4
         chunk = 8
         while chunk < 64 and 4 * (2 * chunk) * dp * band * esize <= 12e6:
             chunk *= 2
     gran = int(np.lcm(band, chunk))
     hp = int(np.ceil(h / gran) * gran)
     wp = int(np.ceil(w / gran) * gran)
-    vol = jnp.pad(volr, ((0, dp - d), (0, 0), (0, 0)), constant_values=BIG)
+    vol = jnp.pad(vol_dhw, ((0, dp - d), (0, 0), (0, 0)),
+                  constant_values=BIG)
     vol = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w)))
     vol_h = jnp.transpose(vol, (2, 0, 1))  # (W, D, H): scan cols
-    lr = _dir_call_sub(vol_h, False, band, chunk, p1, p2)
-    rl = _dir_call_sub(vol_h, True, band, chunk, p1, p2)
+    volr_h = derive_right_wdh_pallas(vol_h, d, w, d_min, stride=stride,
+                                     fill=fill)
+    lr = _dir_call_sub(volr_h, False, band, chunk, p1, p2)
+    rl = _dir_call_sub(volr_h, True, band, chunk, p1, p2)
 
     # WTA stream blocking under the Pallas TPU block rule (trailing block
     # dims 8/128-divisible or equal to the array's): W-chunk of 8 keeps
     # the (wc, hb) OUT block legal; the H-block is the largest divisor of
     # Hp that is 128-aligned (or all of Hp) and fits the VMEM pipeline
     # budget — 2 input streams x 2 slots per block, the out block is tiny
-    esize = 2 if volr.dtype == jnp.bfloat16 else 4
+    esize = 2 if vol_dhw.dtype == jnp.bfloat16 else 4
     wc = 8
     hb = hp
     for cand in (hp // k for k in range(1, hp // 128 + 1)):
