@@ -676,12 +676,11 @@ def _bench_stages(r1, r2, M, b, cfg, rtt, k: int = 6):
         # + WTA chain). horizontal: derive pad (r+w) + derive kernel (r+w)
         # + sgm pad (r+w) + transposeH (r+w) + 2 h-kernels (r+w each) +
         # wta2 (2 reads) = 14 passes (6 relayout-reducible).
-        # horizontal: pad+transpose fuse to ONE relayout pass (r+w, XLA
-        # fuses the pad into the transpose consumer — the old 14-pass
-        # model double-counted them and broke util <= 1) + (W,Dp,H)-layout
-        # derive (r+w, pure DMA) + 2 h-kernels (r+w each) + wta2 (2 reads)
-        # = 10 passes in isolation; inside pair_core the relayout is CSE'd
-        # with the left path's.
+        # horizontal: derive kernel (r+w) + fused pad+transpose relayout
+        # (ONE r+w — XLA fuses both pads into the transpose consumer; the
+        # earlier 14-pass model double-counted them and broke util <= 1,
+        # measured 1.04) + 2 h-kernels (r+w each) + wta2 (2 reads)
+        # = 10 passes.
         ("right_view",
          (lambda e: mtch.diag_right_disparity_wdh(
              s_wdh + e.astype(s_wdh.dtype), cfg.min_disparity, D,
@@ -693,7 +692,7 @@ def _bench_stages(r1, r2, M, b, cfg, rtt, k: int = 6):
          DV + (D / 8) * P * 16 + P * 4 if diag else 10 * DV,
          D * P * 4 if diag else D * P * 25,
          "S read + /8-amortised carry spill" if diag else
-         "10 volume passes (fused relayout + wdh derive + 2 dirs + wta2)"),
+         "10 volume passes (derive + fused relayout + 2 dirs + wta2)"),
         # L/R check: D/stride scan steps; slice reads amortise to ~the
         # union window per unroll group, accumulator in-register per group
         ("lr_check",

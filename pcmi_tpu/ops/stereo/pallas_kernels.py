@@ -708,7 +708,8 @@ def derive_right_pallas(vol: jnp.ndarray, d_min: int, fill: float = 1.0,
 
 
 def _make_derive_wdh_kernel(dp_total: int, d_real: int, w: int, wp: int,
-                            d_min: int, stride: int, fill: float, hc: int):
+                            d_min: int, stride: int, fill: float, hc: int,
+                            seg: int):
     """Derive the right-view volume IN the (W, Dp, H) scan layout.
 
     ``out[x, d, :] = vol_h[x + off(d), d, :]`` with ``off(d) = d_min +
@@ -735,85 +736,92 @@ def _make_derive_wdh_kernel(dp_total: int, d_real: int, w: int, wp: int,
 
     # d slices are processed in 8-groups: HBM refs are (8, 128)-tiled on
     # their trailing dims, so a DMA may only slice the D axis at 8-aligned
-    # offsets/extents. The per-d residual shift within a group is applied
-    # as value-level VMEM reads (unconstrained).
+    # offsets/extents (``pl.multiple_of`` carries the alignment proof for
+    # the loop-carried group index). The per-d residual shift within a
+    # group is applied as value-level VMEM reads (dynamic starts are
+    # unconstrained there) and the out-of-image / spatial-pad / BIG
+    # regions as where-masks — everything dynamic in the group index, so
+    # each segment's derive is ONE fori_loop body for Mosaic to compile
+    # (a Python-unrolled variant cost minutes of compile per shape).
+    #
+    # ``seg`` splits the W axis so the VMEM pipeline (in rows must extend
+    # by the full shift range off_max) fits the ~16 MB core budget at the
+    # MAX_DISP=288 envelope; segments are a STATIC Python loop (their DMA
+    # extents differ) around the dynamic group loop.
     ngroups = dp_total // 8
     assert dp_total % 8 == 0, dp_total
+    pad_lo = -min(d_min, 0)  # value-read base offset for negative shifts
+    off_max = max(d_min + (dp_total - 1) * stride, 0)
+    segments = []
+    s0 = 0
+    while s0 < wp:
+        si = min(seg, wp - s0)
+        in_start = max(s0 - pad_lo, 0)
+        in_rows = min(s0 + si + off_max, wp) - in_start
+        lead = max(pad_lo - s0, 0)
+        segments.append((s0, si, in_start, in_rows, lead))
+        s0 += si
 
     def kernel(vol_hbm, out_hbm, inbuf, outbuf, insem, outsem):
         b = pl.program_id(0)
         lanes = pl.ds(b * hc, hc)
+        big = jnp.asarray(BIG, outbuf.dtype)
+        f = jnp.asarray(fill, outbuf.dtype)
 
-        def in_copy(g, slot):
-            base = off(8 * g)
-            src0 = max(base, 0)
-            rows = wp - src0
-            if rows <= 0 or 8 * g >= d_real:
-                return None
-            return pltpu.make_async_copy(
-                vol_hbm.at[pl.ds(src0, rows), pl.ds(8 * g, 8), lanes],
-                inbuf.at[slot, pl.ds(0, rows)], insem.at[slot])
+        for (s0, si, in_start, in_rows, lead) in segments:
+            xw = s0 + jax.lax.broadcasted_iota(jnp.int32, (si, hc), 0)
 
-        def out_copy(g, slot):
-            return pltpu.make_async_copy(
-                outbuf.at[slot], out_hbm.at[pl.ds(0, wp), pl.ds(8 * g, 8),
-                                            lanes],
-                outsem.at[slot])
+            def in_copy(g, slot):
+                dg = pl.multiple_of(g * 8, 8)
+                return pltpu.make_async_copy(
+                    vol_hbm.at[pl.ds(in_start, in_rows), pl.ds(dg, 8),
+                               lanes],
+                    inbuf.at[slot, pl.ds(lead, in_rows)], insem.at[slot])
 
-        def start_in(g, slot):
-            c = in_copy(g, slot)
-            if c is not None:
-                c.start()
+            def out_copy(g, slot):
+                dg = pl.multiple_of(g * 8, 8)
+                return pltpu.make_async_copy(
+                    outbuf.at[slot, pl.ds(0, si)],
+                    out_hbm.at[pl.ds(s0, si), pl.ds(dg, 8), lanes],
+                    outsem.at[slot])
 
-        def shift_patch(g, slot):
-            base = off(8 * g)
-            src0 = max(base, 0)
-            f = jnp.asarray(fill, outbuf.dtype)
-            for k in range(8):
-                d = 8 * g + k
-                o = off(d)
-                if d >= d_real or o >= w:
-                    # padded-d lanes are BIG — but the old chain's spatial
-                    # pad (0 at x >= w) applied AFTER its D pad, so the
-                    # zero patch below still runs for bit parity
-                    outbuf[slot, :, k] = jnp.full(
-                        (wp, hc), BIG if d >= d_real else f, outbuf.dtype)
-                else:
-                    sh = o - src0
-                    if sh >= 0:
-                        outbuf[slot, :, k] = inbuf[slot, pl.ds(sh, wp), k]
-                    else:
-                        outbuf[slot, -sh:wp, k] = \
-                            inbuf[slot, pl.ds(0, wp + sh), k]
-                        outbuf[slot, 0:-sh, k] = jnp.full(
-                            (-sh, hc), f, outbuf.dtype)
-                    # right-edge out-of-image band [w - o, w)
-                    if o > 0:
-                        lo, hi = max(w - o, 0), min(w, wp)
-                        if hi > lo:
-                            outbuf[slot, lo:hi, k] = jnp.full(
-                                (hi - lo, hc), f, outbuf.dtype)
-                # spatial pad columns of the old derived-then-padded chain
-                if wp > w:
-                    outbuf[slot, w:wp, k] = jnp.zeros(
-                        (wp - w, hc), outbuf.dtype)
+            in_copy(0, 0).start()
+            if ngroups > 1:
+                in_copy(1, 1).start()
 
-        start_in(0, 0)
-        if ngroups > 1:
-            start_in(1, 1)
-        for g in range(ngroups):
-            slot = g % 2
-            c = in_copy(g, slot)
-            if c is not None:
-                c.wait()
-            if g >= 2:
-                out_copy(g - 2, slot).wait()
-            shift_patch(g, slot)
-            out_copy(g, slot).start()
-            if g + 2 < ngroups:
-                start_in(g + 2, slot)
-        for g in range(max(ngroups - 2, 0), ngroups):
-            out_copy(g, g % 2).wait()
+            def body(g, _):
+                slot = g % 2
+                in_copy(g, slot).wait()
+
+                @pl.when(g >= 2)
+                def _():
+                    out_copy(g - 2, slot).wait()
+
+                for k in range(8):
+                    d = g * 8 + k
+                    o = d_min + d * stride
+                    val = inbuf[slot, pl.ds(pad_lo + o, si), k]
+                    src = xw + o
+                    val = jnp.where((src < 0) | (src >= w), f, val)
+                    val = jnp.where(d >= d_real, big, val)
+                    # spatial pad columns: the old chain's 0-pad applied
+                    # AFTER its D pad, so x >= w is 0 for padded d too
+                    # (bit parity)
+                    val = jnp.where(xw >= w, jnp.zeros((), outbuf.dtype),
+                                    val)
+                    outbuf[slot, pl.ds(0, si), k] = val
+                out_copy(g, slot).start()
+
+                @pl.when(g + 2 < ngroups)
+                def _():
+                    in_copy(g + 2, slot).start()
+
+                return 0
+
+            jax.lax.fori_loop(0, ngroups, body, 0)
+            out_copy(ngroups - 1, (ngroups - 1) % 2).wait()
+            if ngroups > 1:
+                out_copy(ngroups - 2, (ngroups - 2) % 2).wait()
 
     return kernel
 
@@ -830,18 +838,30 @@ def derive_right_wdh_pallas(vol_h: jnp.ndarray, d_real: int, w: int,
         # non-128-granular H extents (small parity-test volumes): one
         # full-width band — lane offset 0 is trivially aligned
         hc = hp
-    # in-buffer rows extend past wp so the +7*stride residual shift's
-    # value reads stay in bounds (tail rows are garbage, always masked)
-    rows_buf = wp + 8 * max(stride, 1)
+    # in-buffer rows cover the full dynamic shift range: a leading
+    # ``pad_lo`` for negative d_min plus the largest positive shift (tail
+    # rows beyond the DMA extent are garbage, always where-masked). The W
+    # segment shrinks until the double-buffered pipeline fits the VMEM
+    # budget (deep D=288 volumes need ~2 segments).
+    pad_lo = -min(d_min, 0)
+    off_max = max(d_min + (dp - 1) * stride, 0)
+    esize = 2 if vol_h.dtype == jnp.bfloat16 else 4
+    seg = wp
+    while seg > 64 and \
+            (2 * (pad_lo + seg + off_max) + 2 * seg) * 8 * hc * esize > 8e6:
+        seg = (seg + 1) // 2
+        seg += (-seg) % 8
+    rows_buf = pad_lo + seg + off_max
     return pl.pallas_call(
-        _make_derive_wdh_kernel(dp, d_real, w, wp, d_min, stride, fill, hc),
+        _make_derive_wdh_kernel(dp, d_real, w, wp, d_min, stride, fill, hc,
+                                seg),
         out_shape=jax.ShapeDtypeStruct((wp, dp, hp), vol_h.dtype),
         grid=(hp // hc,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, rows_buf, 8, hc), vol_h.dtype),
-            pltpu.VMEM((2, wp, 8, hc), vol_h.dtype),
+            pltpu.VMEM((2, seg, 8, hc), vol_h.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -877,7 +897,7 @@ def _make_wta2_kernel(d_min: float, stride: float):
 
 
 @partial(jax.jit, static_argnames=("p1", "p2", "d_min", "stride", "fill",
-                                   "band", "chunk"))
+                                   "band", "chunk", "use_wdh_derive"))
 def right_disparity_fused_pallas(
     vol_dhw: jnp.ndarray,
     p1: float,
@@ -887,6 +907,7 @@ def right_disparity_fused_pallas(
     fill: float = 1.0,
     band: int = 128,
     chunk: int | None = None,
+    use_wdh_derive: bool = False,
 ) -> jnp.ndarray:
     """Right-view integer disparity straight from the LEFT cost volume.
 
@@ -898,33 +919,55 @@ def right_disparity_fused_pallas(
     in their native scan layout, so those five full-volume passes collapse
     into one double-read emitting only the (H, W) disparity plane.
 
-    Bit-parity with the unfused chain (same derive semantics, same
-    direction kernels, bf16 add order preserved, argmin tie-break =
-    lowest index).
+    Bit-parity with the unfused chain (same derive kernel, same direction
+    kernels, bf16 add order preserved, argmin tie-break = lowest index).
 
-    The derive runs IN the (W, Dp, H) scan layout
-    (:func:`derive_right_wdh_pallas`) on the same padded transposed
-    volume the fused left path builds — identical subexpression, so XLA
-    CSE shares it when both views are jitted together. vs the old
-    derive -> pad -> relayout chain that is ~4 fewer full-volume passes.
+    A (W, Dp, H)-layout derive that skips this chain's pad + relayout
+    exists (:func:`derive_right_wdh_pallas`, ``use_wdh_derive=True``) and
+    is bit-parity tested, but stays OFF by default: its fast
+    (Python-unrolled) form multiplies Mosaic compile time enough to bust
+    a cold-start bench deadline (observed: watchdog at 840 s before the
+    headline), and its compile-cheap (fori_loop) form executes ~1.7x
+    slower than this chain (dynamic-start vector loads). Cold-compile
+    latency is part of the production contract here, so the default
+    optimises for it.
     """
-    d, h, w = vol_dhw.shape
-    sub = 16 if vol_dhw.dtype == jnp.bfloat16 else 8
-    dp = int(np.ceil(d / sub) * sub)
-    if chunk is None:
-        esize = 2 if vol_dhw.dtype == jnp.bfloat16 else 4
-        chunk = 8
-        while chunk < 64 and 4 * (2 * chunk) * dp * band * esize <= 12e6:
-            chunk *= 2
-    gran = int(np.lcm(band, chunk))
-    hp = int(np.ceil(h / gran) * gran)
-    wp = int(np.ceil(w / gran) * gran)
-    vol = jnp.pad(vol_dhw, ((0, dp - d), (0, 0), (0, 0)),
-                  constant_values=BIG)
-    vol = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w)))
-    vol_h = jnp.transpose(vol, (2, 0, 1))  # (W, D, H): scan cols
-    volr_h = derive_right_wdh_pallas(vol_h, d, w, d_min, stride=stride,
-                                     fill=fill)
+    if use_wdh_derive:
+        d, h, w = vol_dhw.shape
+        sub = 16 if vol_dhw.dtype == jnp.bfloat16 else 8
+        dp = int(np.ceil(d / sub) * sub)
+        if chunk is None:
+            esize = 2 if vol_dhw.dtype == jnp.bfloat16 else 4
+            chunk = 8
+            while chunk < 64 and 4 * (2 * chunk) * dp * band * esize <= 12e6:
+                chunk *= 2
+        gran = int(np.lcm(band, chunk))
+        hp = int(np.ceil(h / gran) * gran)
+        wp = int(np.ceil(w / gran) * gran)
+        vol = jnp.pad(vol_dhw, ((0, dp - d), (0, 0), (0, 0)),
+                      constant_values=BIG)
+        vol = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w)))
+        vol_h = jnp.transpose(vol, (2, 0, 1))  # (W, D, H): scan cols
+        volr = None
+        volr_h = derive_right_wdh_pallas(vol_h, d, w, d_min, stride=stride,
+                                         fill=fill)
+    else:
+        volr = derive_right_pallas(vol_dhw, d_min, fill=fill, stride=stride)
+        d, h, w = volr.shape
+        sub = 16 if volr.dtype == jnp.bfloat16 else 8
+        dp = int(np.ceil(d / sub) * sub)
+        if chunk is None:
+            esize = 2 if volr.dtype == jnp.bfloat16 else 4
+            chunk = 8
+            while chunk < 64 and 4 * (2 * chunk) * dp * band * esize <= 12e6:
+                chunk *= 2
+        gran = int(np.lcm(band, chunk))
+        hp = int(np.ceil(h / gran) * gran)
+        wp = int(np.ceil(w / gran) * gran)
+        vol = jnp.pad(volr, ((0, dp - d), (0, 0), (0, 0)),
+                      constant_values=BIG)
+        vol = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w)))
+        volr_h = jnp.transpose(vol, (2, 0, 1))  # (W, D, H): scan cols
     lr = _dir_call_sub(volr_h, False, band, chunk, p1, p2)
     rl = _dir_call_sub(volr_h, True, band, chunk, p1, p2)
 

@@ -218,3 +218,25 @@ def test_compute_disparity_diagonal_mode(rng):
     np.testing.assert_allclose(np.asarray(out_scan.disparity_right),
                                np.asarray(out_der.disparity_right),
                                atol=1e-5)
+
+
+def test_right_disparity_wdh_derive_parity(rng):
+    """use_wdh_derive=True (the (W,Dp,H)-layout derive, kept as a
+    non-default experiment — see right_disparity_fused_pallas's
+    docstring for the compile-time tradeoff) must match the default
+    chain exactly, including negative d_min and stride 2."""
+    import jax.numpy as jnp
+
+    from pcmi_tpu.ops.stereo.pallas_kernels import right_disparity_fused_pallas
+
+    cfg = StereoConfig(max_disp=16, sgm_backend="xla")
+    for (d, h, w), stride, d_min in [((16, 24, 40), 1, 0),
+                                     ((16, 19, 33), 2, -4)]:
+        vol = jnp.asarray(rng.uniform(0, 1, (d, h, w)).astype(np.float32))
+        ref = right_disparity_fused_pallas(
+            vol, cfg.sgm_p1, cfg.sgm_p2, d_min, stride=stride,
+            band=8, chunk=8)
+        got = right_disparity_fused_pallas(
+            vol, cfg.sgm_p1, cfg.sgm_p2, d_min, stride=stride,
+            band=8, chunk=8, use_wdh_derive=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
